@@ -1,0 +1,136 @@
+"""Canonicalize stage: cross-partition connected components.
+
+The TypeResolver-dedup / Tarjan-SCC analog (reference
+passes/TypeResolver.kt:107-144 unifies duplicate types globally;
+helper/Components.kt:79-131 runs recursive Tarjan on the driver). Neither
+survives 10^12 rows, so this is the alternating large-star / small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond") — O(log n) rounds of pure DataFrame joins, each round
+checkpointed to truncate lineage, deterministic via lexicographic min on
+content-hash ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _checksum(df: DataFrame) -> tuple[int, int]:
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each u: connect all strictly larger neighbors to
+    min(neighborhood ∪ {u})."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("u", "mn").alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient high->low, then for each u: connect all low neighbors and u
+    itself to the minimum."""
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        directed.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select(F.col("u"), F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return out
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(member_id, component_id) for every node appearing in `edges`;
+    component_id = lexicographic min member id.
+
+    Each iteration localCheckpoints (lineage truncation — the iterative
+    analog of the reference's per-pass materialization). Convergence =
+    stable (count, checksum) of the edge set.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        e.select(F.col("u").alias("member_id"))
+        .union(e.select(F.col("v").alias("member_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if e.isEmpty():
+        return all_nodes.select(
+            "member_id", F.col("member_id").alias("component_id")
+        )
+
+    prev = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+
+    # converged: e is a forest of depth-1 stars (u -> root), u > root;
+    # min() guards against a node carrying two star edges at the cap
+    labels = e.groupBy(F.col("u").alias("member_id")).agg(
+        F.min("v").alias("component_id")
+    )
+    return (
+        all_nodes.join(labels, "member_id", "left")
+        .select(
+            "member_id",
+            F.coalesce("component_id", "member_id").alias("component_id"),
+        )
+    )
+
+
+def dict_duplicate_edges(alias_dict: DataFrame) -> DataFrame:
+    """Candidate-entity duplicate edges: entities sharing an
+    (alias, entity_type) are duplicate candidates (the TypeResolver
+    equal-type signal). Emitted as (root=min member, member) star edges
+    per group — already near-canonical, CC then merges overlapping
+    groups (the chain fixture)."""
+    grouped = alias_dict.groupBy("alias", "entity_type").agg(
+        F.min("entity_id").alias("src"),
+        F.collect_set("entity_id").alias("members"),
+    )
+    return (
+        grouped.select("src", F.explode("members").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def canonical_map(alias_dict: DataFrame) -> DataFrame:
+    """member_id -> component_id over dictionary-duplicate edges, covering
+    ALL dictionary entities (singletons map to themselves)."""
+    edges = dict_duplicate_edges(alias_dict)
+    cc = connected_components(edges)
+    everyone = alias_dict.select(F.col("entity_id").alias("member_id")).distinct()
+    return everyone.join(cc, "member_id", "left").select(
+        "member_id", F.coalesce("component_id", "member_id").alias("component_id")
+    )

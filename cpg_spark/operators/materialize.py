@@ -1,0 +1,135 @@
+"""Materialize stage: links + canonical map -> deduplicated graph tables.
+
+The Neo4j-push analog (reference cpg-neo4j Application.kt:200-222 saves
+the whole object graph in one transaction; here the graph becomes
+columnar triples/nodes tables committed as snapshots). Predicate set per
+FIXTURES.md §3: mentions / co_occurs_with / linked_to / typed_as — the
+DFG/EOG/INVOKES/REFERS_TO edge-label analog (reference Node.kt:110-154).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .skew import salted_collect_set
+
+
+def canonical_links(links: DataFrame, canon: DataFrame) -> DataFrame:
+    """Re-point every linked mention at its canonical entity (the
+    FK-re-pointing join of TypeResolver.removeDuplicateTypes,
+    reference TypeResolver.kt:107-128). canon is dictionary-sized ->
+    broadcast, no shuffle."""
+    c = F.broadcast(canon.withColumnRenamed("member_id", "entity_id"))
+    return (
+        links.join(c, "entity_id", "left")
+        .withColumn("canon_id", F.coalesce("component_id", "entity_id"))
+        .drop("component_id")
+    )
+
+
+def triples_from_links(clinks: DataFrame, canon: DataFrame) -> DataFrame:
+    """Emit the raw evidence-level triples (TRIPLES schema).
+
+    co_occurs_with pairs are generated JVM-side from the per-sentence
+    sorted distinct entity array (one groupBy shuffle, then a nested
+    transform — no self-join, no Python).
+    """
+    mentions_t = clinks.select(
+        F.col("url").alias("subj"),
+        F.lit("mentions").alias("pred"),
+        F.col("canon_id").alias("obj"),
+        "url",
+        "sent_idx",
+    )
+
+    per_sent = clinks.groupBy("url", "sent_idx").agg(
+        F.sort_array(F.collect_set("canon_id")).alias("ents")
+    )
+    # all ordered pairs (ents[i], ents[j]) i<j, without a self-join:
+    # transform over the array with positional slice
+    pairs = per_sent.select(
+        "url",
+        "sent_idx",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ents"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ents"),
+                            i + F.lit(2),
+                            F.greatest(F.size("ents") - i - 1, F.lit(0)),
+                        ),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p"),
+    )
+    cooccur_t = pairs.select(
+        F.col("p.a").alias("subj"),
+        F.lit("co_occurs_with").alias("pred"),
+        F.col("p.b").alias("obj"),
+        "url",
+        "sent_idx",
+    )
+
+    typed_t = (
+        clinks.select("canon_id", "entity_type")
+        .distinct()
+        .select(
+            F.col("canon_id").alias("subj"),
+            F.lit("typed_as").alias("pred"),
+            F.col("entity_type").alias("obj"),
+            F.lit(None).cast("string").alias("url"),
+            F.lit(None).cast("int").alias("sent_idx"),
+        )
+    )
+
+    linked_t = canon.filter(F.col("member_id") != F.col("component_id")).select(
+        F.col("member_id").alias("subj"),
+        F.lit("linked_to").alias("pred"),
+        F.col("component_id").alias("obj"),
+        F.lit(None).cast("string").alias("url"),
+        F.lit(None).cast("int").alias("sent_idx"),
+    )
+
+    return mentions_t.unionByName(cooccur_t).unionByName(typed_t).unionByName(linked_t)
+
+
+def triples_agg(triples: DataFrame) -> DataFrame:
+    """Deduplicated edge table with evidence counts. Plain count is
+    skew-safe via map-side partial aggregation; verified on the hot-alias
+    fixture."""
+    return triples.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).cast("long").alias("n_evidence")
+    )
+
+
+def nodes_table(clinks: DataFrame, max_example_urls: int = 5) -> DataFrame:
+    """Canonical node table with mention/page stats; example-url evidence
+    is a holistic agg -> salted two-phase collect (operators/skew.py)."""
+    stats = clinks.groupBy("canon_id").agg(
+        F.first("entity_name").alias("name"),
+        F.first("entity_type").alias("entity_type"),
+        F.max(F.col("is_inferred").cast("int")).cast("boolean").alias("is_inferred"),
+        F.count(F.lit(1)).cast("long").alias("n_mentions"),
+        F.countDistinct("url").alias("n_pages"),
+    )
+    examples = salted_collect_set(
+        clinks, ["canon_id"], "url", "example_urls", max_items=max_example_urls
+    )
+    return (
+        stats.join(examples, "canon_id", "left")
+        .select(
+            F.col("canon_id").alias("id"),
+            F.lit("entity").alias("kind"),
+            "name",
+            "entity_type",
+            "is_inferred",
+            "n_mentions",
+            F.col("n_pages").cast("long").alias("n_pages"),
+            "example_urls",
+        )
+    )
