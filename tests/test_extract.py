@@ -1,0 +1,79 @@
+"""Extract-stage tests: the golden-text byte-identity contract and the
+golden-graph-style fixtures (reference test strategy, SURVEY.md §5)."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from cpg_spark.functions.text import extract_text_pandas, extract_text_py
+from cpg_spark.operators import extract
+from cpg_spark.synth import TARGET_LANGS, page_html
+
+
+def test_extraction_byte_identical_column_path(spark, pages_df, corpus):
+    """JVM Column extraction must return the original text byte-for-byte
+    for every page (BASELINE.json per-row invariant)."""
+    ext = extract.extracted_text(pages_df).withColumnRenamed("text", "etext")
+    joined = ext.join(pages_df.select("url", "text"), "url")
+    assert joined.filter(F.col("etext") != F.col("text")).count() == 0
+    # and via sha256 against the golden_text fixture
+    got = {
+        r["url"]: hashlib.sha256(r["etext"].encode()).hexdigest()
+        for r in joined.collect()
+    }
+    for g in corpus["golden_text"]:
+        assert got[g["url"]] == g["text_sha256"]
+
+
+def test_extraction_pandas_variant_matches_python_reference(corpus):
+    for p in corpus["pages"][:10]:
+        assert extract_text_py(p["html"]) == p["text"]
+    import pandas as pd
+
+    s = pd.Series([p["html"] for p in corpus["pages"]])
+    out = extract_text_pandas(s)
+    for i, p in enumerate(corpus["pages"]):
+        assert out[i] == p["text"]
+
+
+def test_extraction_adversarial_text():
+    """Template + extraction must round-trip hostile bytes: tags,
+    entities, weird whitespace."""
+    cases = [
+        "a < b & c > d.",
+        "literal </article> attempt. <script>x</script>!",
+        "  leading and trailing  ",
+        "",
+        "&amp; already-escaped? maybe. yes!",
+        "multi\nline\ttext. with. many. dots. ",
+    ]
+    for text in cases:
+        assert extract_text_py(page_html(text, "en", "t")) == text
+
+
+def test_non_target_lang_pages_skipped(spark, pages_df):
+    sents = extract.sentences(pages_df)
+    langs = {r["lang"] for r in sents.select("lang").distinct().collect()}
+    assert "zz" not in langs
+    assert langs <= set(TARGET_LANGS)
+
+
+def test_empty_pages_yield_no_sentences(spark, pages_df):
+    empties = pages_df.filter(F.trim(F.col("text")) == "").select("url")
+    sents = extract.sentences(pages_df)
+    assert sents.join(empties, "url", "inner").count() == 0
+
+
+def test_mention_detection_exact(spark):
+    """Golden-shape fixture: exact mentions from a crafted sentence."""
+    rows = [("u1", "en", 0, "the traveler met Mira Talvek near Dorvik and Acme Corp offices.")]
+    df = spark.createDataFrame(rows, "url string, lang string, sent_idx int, sentence string")
+    got = [
+        (r["tok_idx"], r["surface"], r["alias_norm"], r["n_words"])
+        for r in extract.mentions(df).orderBy("tok_idx").collect()
+    ]
+    assert got == [
+        (0, "Mira Talvek", "mira talvek", 2),
+        (1, "Dorvik", "dorvik", 1),
+        (2, "Acme Corp", "acme corp", 2),
+    ]

@@ -1,0 +1,75 @@
+"""Link-stage tests: reference->declaration resolution semantics
+(VariableUsageResolver/CallResolver analog, SURVEY.md §2.2 #4-5)."""
+
+from pyspark.sql import functions as F
+
+from cpg_spark.functions.hashing import entity_id_py, inferred_id_py
+from cpg_spark.operators import link
+from cpg_spark.schema import ALIAS_DICT, MENTIONS
+
+
+def _mentions(spark, rows):
+    return spark.createDataFrame(
+        [(u, s, t, a, a.title(), len(a.split())) for (u, s, t, a) in rows], MENTIONS
+    )
+
+
+def test_ambiguous_alias_best_pick(spark, alias_df):
+    """'orion' maps to PERSON (prior .75) and ORG (prior .55): the link
+    must pick the PERSON — highest prior, tie-break min entity id."""
+    m = _mentions(spark, [("u", 0, 0, "orion")])
+    out = link.link_mentions(m, alias_df).collect()
+    assert len(out) == 1
+    assert out[0]["entity_id"] == entity_id_py("Orion Vale", "PERSON")
+    assert out[0]["entity_type"] == "PERSON"
+    assert not out[0]["is_inferred"]
+
+
+def test_prior_tie_breaks_on_min_entity_id(spark):
+    rows = [
+        ("x", "e:bbb", "B", "ORG", 0.5),
+        ("x", "e:aaa", "A", "ORG", 0.5),
+    ]
+    adict = spark.createDataFrame(rows, ALIAS_DICT)
+    m = _mentions(spark, [("u", 0, 0, "x")])
+    out = link.link_mentions(m, adict).collect()
+    assert out[0]["entity_id"] == "e:aaa"
+
+
+def test_unmatched_mention_becomes_inferred(spark, alias_df):
+    m = _mentions(spark, [("u", 0, 0, "zubrin kale")])
+    out = link.link_mentions(m, alias_df).collect()
+    assert out[0]["is_inferred"]
+    assert out[0]["entity_id"] == inferred_id_py("zubrin kale")
+    assert out[0]["entity_type"] == "UNKNOWN"
+    assert out[0]["score"] == 0.0
+
+
+def test_inferred_id_jvm_matches_python(spark):
+    """The JVM sha1 id expression and the python golden id must agree."""
+    df = spark.createDataFrame([("zubrin kale",), ("qorvath",)], "alias_norm string")
+    from cpg_spark.functions.hashing import inferred_id_col
+
+    got = {r["alias_norm"]: r["iid"] for r in df.select("alias_norm", inferred_id_col(F.col("alias_norm")).alias("iid")).collect()}
+    assert got["zubrin kale"] == inferred_id_py("zubrin kale")
+    assert got["qorvath"] == inferred_id_py("qorvath")
+
+
+def test_link_candidates_keeps_all_and_ranks(spark, alias_df):
+    m = _mentions(spark, [("u", 0, 0, "orion")])
+    out = link.link_candidates(m, alias_df).orderBy("cand_rank").collect()
+    assert len(out) == 2
+    assert out[0]["cand_rank"] == 1 and out[0]["entity_type"] == "PERSON"
+    assert out[1]["cand_rank"] == 2 and out[1]["entity_type"] == "ORG"
+
+
+def test_link_plan_is_broadcast_no_shuffle(spark, alias_df, pages_df):
+    """Scale check: mention resolution must be a BroadcastHashJoin with
+    no Exchange on the mention side (zero-shuffle link stage)."""
+    from cpg_spark.operators import extract
+
+    ment = extract.mentions(extract.sentences(pages_df))
+    plan = link.link_mentions(ment, alias_df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    pre_join = plan.split("BroadcastHashJoin")[0]
+    assert "Exchange hashpartitioning" not in pre_join

@@ -1,0 +1,94 @@
+"""End-to-end pipeline tests: exact golden-triple match (P/R = 1.0 on the
+smoke corpus, gate is >= 0.95), snapshot resume without recompute, and
+lineage rows — the north_rule requirements."""
+
+import tempfile
+
+from cpg_spark.lineage import read_lineage
+from cpg_spark.plans.pipeline import KgPipeline
+
+
+def _triple_set(df):
+    return {
+        (r["subj"], r["pred"], r["obj"], r["url"], r["sent_idx"])
+        for r in df.collect()
+    }
+
+
+def _golden_set(corpus):
+    return {
+        (r["subj"], r["pred"], r["obj"], r["url"], r["sent_idx"])
+        for r in corpus["golden_triples"]
+    }
+
+
+def test_end_to_end_triples_match_golden(spark, pages_df, alias_df, corpus):
+    wh = tempfile.mkdtemp(prefix="kgwh_")
+    pipe = KgPipeline(spark, wh, run_id="t1")
+    out = pipe.run(pages_df, alias_df, input_token="tok-e2e")
+    got = _triple_set(out["triples"])
+    exp = _golden_set(corpus)
+    tp = len(got & exp)
+    precision = tp / len(got)
+    recall = tp / len(exp)
+    assert precision >= 0.95 and recall >= 0.95
+    assert got == exp  # exact on the smoke corpus
+
+
+def test_resume_skips_committed_stages(spark, pages_df, alias_df, corpus):
+    wh = tempfile.mkdtemp(prefix="kgwh_")
+    p1 = KgPipeline(spark, wh, run_id="r1")
+    p1.run(pages_df, alias_df, input_token="tok-resume", stop_after="links")
+    assert p1.ran == ["sentences", "mentions", "links"]
+
+    p2 = KgPipeline(spark, wh, run_id="r2")
+    out = p2.run(pages_df, alias_df, input_token="tok-resume")
+    assert p2.skipped == ["sentences", "mentions", "links"]
+    assert "sentences" not in p2.ran
+    assert _triple_set(out["triples"]) == _golden_set(corpus)
+
+    # third run: everything skipped, nothing recomputed
+    p3 = KgPipeline(spark, wh, run_id="r3")
+    p3.run(pages_df, alias_df, input_token="tok-resume")
+    assert p3.ran == []
+    assert set(p3.skipped) == {
+        "sentences", "mentions", "links", "components", "triples",
+        "triples_agg", "nodes",
+    }
+
+
+def test_changed_input_invalidates_snapshots(spark, pages_df, alias_df):
+    wh = tempfile.mkdtemp(prefix="kgwh_")
+    KgPipeline(spark, wh, run_id="a").run(
+        pages_df, alias_df, input_token="tok-A", stop_after="sentences"
+    )
+    p = KgPipeline(spark, wh, run_id="b")
+    p.run(pages_df, alias_df, input_token="tok-B", stop_after="sentences")
+    assert p.ran == ["sentences"]  # different input -> recompute
+
+
+def test_lineage_rows_written(spark, pages_df, alias_df):
+    wh = tempfile.mkdtemp(prefix="kgwh_")
+    KgPipeline(spark, wh, run_id="lin").run(
+        pages_df, alias_df, input_token="tok-lin", stop_after="mentions"
+    )
+    lin = read_lineage(spark, wh)
+    stages = {r["stage"] for r in lin.select("stage").distinct().collect()}
+    assert stages == {"sentences", "mentions"}
+    row = lin.filter("stage = 'sentences'").first()
+    assert row["run_id"] == "lin"
+    assert row["rows_out"] is not None and row["wall_ms"] is not None
+    assert row["snapshot_id"] == 1
+
+
+def test_nodes_table_shape(spark, pages_df, alias_df):
+    wh = tempfile.mkdtemp(prefix="kgwh_")
+    out = KgPipeline(spark, wh, run_id="n").run(
+        pages_df, alias_df, input_token="tok-nodes"
+    )
+    nodes = out["nodes"].collect()
+    assert len(nodes) > 0
+    for r in nodes:
+        assert r["id"] and r["kind"] == "entity"
+        assert r["n_mentions"] >= r["n_pages"] >= 1
+        assert r["example_urls"] is not None and len(r["example_urls"]) <= 5
