@@ -45,3 +45,41 @@ def inferred_id_col(alias_norm: Column) -> Column:
         F.lit("inf:"),
         F.substring(F.sha1(F.encode(F.concat(F.lit("inferred\x00"), alias_norm), "UTF-8")), 1, 12),
     )
+
+
+# --- engine-portable polynomial string hash ---------------------------------
+#
+# xxhash64 is Spark-only; MinHash/SimHash/fingerprint operators need a hash
+# the DuckDB oracle can reproduce bit-for-bit. This is a classic 31-base
+# polynomial over code points, mod a prime small enough that the fold never
+# overflows int64 in either engine (acc < P, acc*31 + 127 << 2^63).
+
+CHAR_POLY_P = 1_000_000_007
+
+
+def char_poly_hash_col(s: Column) -> Column:
+    """64-bit-safe polynomial hash of a string, as a JVM fold (codegen'd,
+    no Python). Empty string hashes to 0."""
+    chars = F.filter(F.split(s, ""), lambda c: F.length(c) > 0)
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % CHAR_POLY_P,
+    )
+
+
+def char_poly_hash_sql(expr: str) -> str:
+    """DuckDB twin of char_poly_hash_col — same value for any ASCII input."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, b) -> (a * 31 + b) % {CHAR_POLY_P})"
+    )
+
+
+def char_poly_hash_py(s: str) -> int:
+    """Python twin, for golden fixtures and property tests."""
+    acc = 0
+    for ch in s:
+        acc = (acc * 31 + ord(ch)) % CHAR_POLY_P
+    return acc

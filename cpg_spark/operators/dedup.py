@@ -1,0 +1,165 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact, MinHash+LSH, n-gram Jaccard, and SimHash dedup over a documents
+table — the canonicalization family (reference TypeResolver.kt:107-144
+dedups equal types globally; here "equal" generalizes to near-duplicate
+text). All hashes use the engine-portable polynomial hash
+(functions/hashing.py) so every operator has a bit-exact DuckDB oracle.
+
+Scale design: everything is expressed as array kernels inside
+whole-stage codegen plus one inverted-index shuffle (explode on shingle /
+LSH bucket) — the standard web-dedup shape. Candidate generation is
+blocked by `lang` and bucket keys so the pair space never goes O(n^2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.arrays import sorted_pairs
+from ..functions.hashing import CHAR_POLY_P, char_poly_hash_col
+from .textstats import doc_tokens
+
+# MinHash family: h_k(x) = ((2k+1)*x + 1000003*k) mod P — odd multiplier,
+# distinct offsets, engine-portable int64-safe arithmetic
+MINHASH_K = 8
+LSH_ROWS_PER_BAND = 2
+SIMHASH_BITS = 16
+
+
+def normalized_text(text: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_dup_map(docs: DataFrame) -> DataFrame:
+    """Exact dedup on normalized text: canonical = min doc_id per group
+    (the groupBy(canonical_key).agg(first) shape of TypeResolver)."""
+    w = Window.partitionBy("norm")
+    return (
+        docs.select("doc_id", normalized_text(F.col("text")).alias("norm"))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .select(
+            "doc_id",
+            "canonical_id",
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
+        )
+    )
+
+
+def shingle_hash_array(text: Column, n: int = 3) -> Column:
+    """array<long> of hashed token n-gram shingles (order-sensitive)."""
+    toks = doc_tokens(text)
+    m = F.size(toks) - (n - 1)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(m - 1, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.when(m > 0, F.transform(shingles, char_poly_hash_col)).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
+def shingle_index(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Inverted-index rows (doc_id, lang, sh) — distinct shingle hashes
+    per doc. The one explode that feeds Jaccard candidate joins."""
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(shingle_hash_array(F.col("text"), n))).alias("sh"),
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, k, minhash): k-permutation MinHash over shingle hashes.
+    Duplicates in the shingle multiset are irrelevant to min, so no
+    distinct is needed; docs with no shingle (< n tokens) are dropped."""
+    hashes = shingle_hash_array(F.col("text"))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda kk: F.array_min(
+            F.transform(
+                hashes, lambda h: ((2 * kk + 1) * h + 1000003 * kk) % CHAR_POLY_P
+            )
+        ),
+    )
+    return (
+        docs.filter(F.size(doc_tokens(F.col("text"))) >= 3)
+        .select("doc_id", F.posexplode(sig).alias("k", "minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, rows_per_band: int = LSH_ROWS_PER_BAND
+) -> DataFrame:
+    """Band the signature, bucket-join: docs agreeing on ALL rows of some
+    band become a candidate pair. groupBy(bucket) + array pair kernel —
+    never a self-join. Returns distinct (a, b), a < b."""
+    banded = signatures.withColumn("band", (F.col("k") / rows_per_band).cast("int"))
+    buckets = banded.groupBy("doc_id", "band").agg(
+        F.concat_ws(":", F.array_sort(F.collect_list(F.concat_ws("@", "k", "minhash")))).alias(
+            "bucket_key"
+        )
+    )
+    grouped = buckets.groupBy("band", "bucket_key").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("members")
+    )
+    pairs = grouped.filter(F.size("members") > 1).select(
+        F.explode(sorted_pairs(F.col("members"))).alias("p")
+    )
+    return pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b")).distinct()
+
+
+def jaccard_pairs(
+    docs: DataFrame, n: int = 3, min_jaccard: float = 0.0, same_lang: bool = True
+) -> DataFrame:
+    """n-gram Jaccard similarity via inverted-index join on shingle hash,
+    blocked by lang: |A∩B| from the join, |A|,|B| from per-doc counts.
+    Returns (a, b, jaccard) for pairs sharing ≥1 shingle and clearing the
+    threshold."""
+    idx = shingle_index(docs, n)
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    left = idx.alias("l")
+    right = idx.alias("r")
+    cond = (F.col("l.sh") == F.col("r.sh")) & (F.col("l.doc_id") < F.col("r.doc_id"))
+    if same_lang:
+        cond = cond & (F.col("l.lang") == F.col("r.lang"))
+    common = (
+        left.join(right, cond)
+        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash over the shingle-hash multiset: per bit, sign of the sum of
+    (+1/-1) votes; fingerprint = Σ bit<<b. Pure array fold, codegen'd."""
+    hashes = shingle_hash_array(F.col("text"))
+
+    # unrolled: shiftright needs a literal bit count; the closure keeps the
+    # lambda at arity 2 (a default arg would make PySpark bind the index)
+    def bit_vote(b: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + (F.shiftright(h, b).bitwiseAND(F.lit(1).cast("long")) * 2 - 1),
+        )
+
+    sh = F.lit(0).cast("long")
+    for b in range(bits):
+        sh = sh + F.when(bit_vote(b) > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return docs.filter(F.size(doc_tokens(F.col("text"))) >= 3).select(
+        "doc_id", sh.alias("simhash")
+    )

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.arrays import sorted_pairs
 from .skew import salted_collect_set
 
 
@@ -46,26 +47,11 @@ def triples_from_links(clinks: DataFrame, canon: DataFrame) -> DataFrame:
     per_sent = clinks.groupBy("url", "sent_idx").agg(
         F.sort_array(F.collect_set("canon_id")).alias("ents")
     )
-    # all ordered pairs (ents[i], ents[j]) i<j, without a self-join:
-    # transform over the array with positional slice
+    # all ordered pairs (ents[i], ents[j]) i<j, without a self-join
     pairs = per_sent.select(
         "url",
         "sent_idx",
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ents"),
-                    lambda x, i: F.transform(
-                        F.slice(
-                            F.col("ents"),
-                            i + F.lit(2),
-                            F.greatest(F.size("ents") - i - 1, F.lit(0)),
-                        ),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
-                    ),
-                )
-            )
-        ).alias("p"),
+        F.explode(sorted_pairs(F.col("ents"))).alias("p"),
     )
     cooccur_t = pairs.select(
         F.col("p.a").alias("subj"),

@@ -1,0 +1,137 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k as the correctness baseline, and a
+random-hyperplane LSH bucketing as the scale path (bucket first, search
+inside buckets — the IVF shape). The hyperplanes are generated from a
+closed-form integer formula so the DuckDB oracle reproduces them exactly;
+every floating-point reduction is a sequential left fold in both engines,
+making the scores bit-identical (not merely close).
+
+Scale notes: top-k broadcasts the (small) query side so the big side
+never shuffles; bucketing is a pure map. At 100 TB you'd bucket once,
+write bucketed, then run per-bucket top-k — both pieces are here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+LSH_NBITS = 16
+HYPERPLANE_MOD = 997
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double (bit-identical to the DuckDB
+    list_reduce twin)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(e: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(e, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 10, id_col: str = "vec_id"
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query vectors against the
+    full table, rank per query. Returns (q_id, rank, neighbor_id, score).
+    Deterministic: ties broken by neighbor id."""
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col(id_col) != F.col("q_id"))
+        .withColumn(
+            "score_raw",
+            _dot(F.col("q_emb"), F.col("embedding"))
+            / (_norm(F.col("q_emb")) * _norm(F.col("embedding"))),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score_raw"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "rank",
+            F.col(id_col).alias("neighbor_id"),
+            F.round("score_raw", 6).alias("score"),
+        )
+    )
+
+
+def hyperplane_expr(j: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5)."""
+    return ((j * 8191 + d * 524287) % HYPERPLANE_MOD) / HYPERPLANE_MOD - 0.5
+
+
+def lsh_buckets(emb: DataFrame, dim: int, nbits: int = LSH_NBITS) -> DataFrame:
+    """Random-hyperplane LSH: bucket = Σ_j (dot(e, h_j) > 0) << j.
+    Pure map over the table — the partitioning key for bucketed ANN."""
+    e = F.col("embedding")
+
+    # closure keeps each HOF lambda at arity 1/2 — a default arg would make
+    # PySpark bind the positional index instead of the captured j
+    def dot_plane(j: int) -> Column:
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda d: F.element_at(e, d + 1).cast("double")
+                * (
+                    ((F.lit(j * 8191) + d * 524287) % HYPERPLANE_MOD)
+                    / HYPERPLANE_MOD
+                    - 0.5
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    bucket = F.lit(0).cast("long")
+    for j in range(nbits):
+        bucket = bucket + F.when(
+            dot_plane(j) > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return emb.select("vec_id", bucket.alias("bucket"))
+
+
+def bucketed_topk(
+    emb: DataFrame, dim: int, k: int = 5, nbits: int = 8
+) -> DataFrame:
+    """Scale-path ANN: bucket every vector, then exact top-k WITHIN each
+    bucket (self-join confined to buckets — the IVF probe). Returns
+    (vec_id, rank, neighbor_id, score)."""
+    b = lsh_buckets(emb, dim, nbits)
+    withb = emb.join(b, "vec_id")
+    left = withb.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    scored = withb.join(left, ["bucket"]).filter(
+        F.col("vec_id") != F.col("q_id")
+    ).withColumn(
+        "score_raw",
+        _dot(F.col("q_emb"), F.col("embedding"))
+        / (_norm(F.col("q_emb")) * _norm(F.col("embedding"))),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score_raw"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "rank",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("score_raw", 6).alias("score"),
+        )
+    )

@@ -1,0 +1,117 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Language-ID (stopword-hit heuristic), quality scoring, token counting,
+and document fingerprinting — the building blocks a 100 TB text-corpus
+pipeline runs before anything else. Everything is a pure Column
+expression (whole-stage codegen, no Python in the hot path); each
+operator has a DuckDB-oracle twin in cpg_spark/queries.py.
+
+Reference lineage: these are the StringPropertyPass-style predicate scans
+(reference cpg-analysis StringPropertyPass.kt:69-110 selects nodes by
+FQN regex) and StatisticsCollectionPass counts (StatisticsCollectionPass
+.kt:39-62) generalized to web text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import char_poly_hash_col
+
+# token pattern shared with the DuckDB oracle (simple classes — identical
+# semantics between Java regex and RE2)
+DOC_TOKEN_RE = "[a-z0-9]+"
+
+# tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic; order fixes the argmax tie-break (first wins)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "is", "in"),
+    "de": ("der", "die", "das", "und", "ist", "von", "ein"),
+    "es": ("el", "la", "los", "y", "de", "es", "un"),
+    "fr": ("le", "la", "les", "et", "de", "est", "un"),
+    "zh": ("de", "le", "shi", "zai", "he", "you", "wo"),
+}
+
+
+def doc_tokens(text: Column) -> Column:
+    """array<string> lowercase tokens."""
+    return F.regexp_extract_all(F.lower(text), F.lit(DOC_TOKEN_RE), 0)
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token counting: totals, distinct, type-token ratio, mean
+    token length. All exact or deterministic-per-row arithmetic."""
+    toks = doc_tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 4).alias("ttr"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+            / F.size(toks),
+            4,
+        ).alias("mean_tok_len"),
+    ).filter(F.col("n_tokens") > 0)
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality score in [0,1]: length band + stopword presence +
+    lexical diversity. The closed formula matters less than that it is
+    vectorized, deterministic, and oracle-checkable."""
+    toks = doc_tokens(F.col("text"))
+    en = list(LANG_STOPWORDS["en"])
+    n = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(en)))
+    ttr = F.size(F.array_distinct(toks)) / n
+    len_ok = (F.length("text") >= 100) & (F.length("text") <= 20000)
+    score = (
+        len_ok.cast("double") * 0.4
+        + F.least(stop_hits / F.lit(5.0), F.lit(1.0)) * 0.3
+        + F.least(ttr * 2, F.lit(1.0)) * 0.3
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_text"),
+        stop_hits.alias("stop_hits"),
+        F.round(score, 4).alias("quality"),
+    ).filter(n > 0)
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-hit language ID: count per-language stopword occurrences,
+    argmax with fixed precedence (dict order) on ties. Returns the score
+    vector plus the prediction so the oracle checks the whole decision."""
+    toks = doc_tokens(F.col("text"))
+
+    # NB: never add default args to HOF lambdas — PySpark reads a 2-arg
+    # lambda as (element, index) and binds the index to the default.
+    def hits(words: tuple[str, ...]) -> Column:
+        wl = list(words)
+        return F.size(F.filter(toks, lambda tk: tk.isin(wl)))
+
+    scores = {lang: hits(words) for lang, words in LANG_STOPWORDS.items()}
+    langs = list(LANG_STOPWORDS)
+    best = F.greatest(*[scores[lg] for lg in langs])
+    pred = F.lit("und")
+    # first language (dict order) achieving the max wins — build the CASE
+    # back-to-front so earlier langs take precedence
+    for lg in reversed(langs):
+        pred = F.when(scores[lg] == best, F.lit(lg)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    cols = [F.col("doc_id"), F.col("lang")]
+    cols += [scores[lg].alias(f"score_{lg}") for lg in langs]
+    cols += [pred.alias("pred_lang")]
+    return docs.select(*cols)
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Whole-document rolling-hash fingerprint (engine-portable polynomial
+    hash over the normalized text) — the cheap exact-dedup key."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        char_poly_hash_col(norm).alias("fp"),
+        F.length("text").alias("n_chars_text"),
+    )

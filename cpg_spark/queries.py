@@ -1,0 +1,826 @@
+"""Query layer: every implemented operator as a (Spark query, DuckDB
+oracle) pair, driving the driver's correctness harness
+(__spark_entry__.py) and bench.py.
+
+Each entry is traceable to a reference behavior (SURVEY.md §2) or to a
+training-data-pipeline operator (dedup / similarity / text analysis).
+Column names are aliased identically on both sides; floating aggregates
+are either exact (decimal casts) or sequential folds reproduced
+bit-for-bit by the oracle; timestamps are emitted as formatted strings.
+
+Registry shape: QUERIES[name] = (fn(spark, sf_dir) -> DataFrame,
+oracle_sql | None). A None oracle means the driver records a weaker
+rows-only check (reserved for genuinely non-SQL-expressible ops).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.arrays import chunk_array, sorted_pairs
+from .functions.hashing import CHAR_POLY_P, char_poly_hash_sql
+from .operators import canonicalize, dedup, similarity, textstats
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dec(c, scale: int = 2):
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(f"decimal(18,{scale})")
+
+
+# entity dictionary for the documents-table KG demo: a closed alias set
+# over the corpus vocabulary (the broadcast symbol-table analog,
+# reference SymbolResolverPass.kt:39-52)
+DOC_ENTITIES: dict[str, str] = {
+    "spark": "TOOL",
+    "table": "OBJ",
+    "join": "OP",
+    "window": "OP",
+    "hash": "OP",
+    "stream": "OBJ",
+    "vector": "OBJ",
+    "customer": "OBJ",
+}
+_ENT_IN = ", ".join(f"'{w}'" for w in DOC_ENTITIES)
+
+TOKEN_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+# SQL fragment: per-doc token-3-gram shingle hash list (DuckDB twin of
+# dedup.shingle_hash_array)
+_SHINGLE_HASH_SQL = (
+    "list_transform("
+    "list_transform(range(0, greatest(len(toks)-2, 0)), "
+    "i -> array_to_string(toks[i+1:i+3], ' ')), "
+    f"s -> {char_poly_hash_sql('s')})"
+)
+
+_SHINGLE_CTE = f"""
+WITH tk AS (
+  SELECT doc_id, lang, {TOKEN_SQL} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, lang, {_SHINGLE_HASH_SQL} AS hs
+  FROM tk WHERE len(toks) >= 3
+)"""
+
+_FOLD_SUM_D = "list_reduce(list_prepend(0.0, {xs}), (a, b) -> a + b)"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    prods = f"list_transform(list_zip({a}, {b}), p -> p[1] * p[2])"
+    return _FOLD_SUM_D.format(xs=prods)
+
+
+def _norm_sql(e: str) -> str:
+    sq = f"list_transform({e}, x -> x * x)"
+    return f"sqrt({_FOLD_SUM_D.format(xs=sq)})"
+
+
+# ---------------------------------------------------------------------------
+# 1. relational / reference-pass analogs over the TPC-H-ish tables
+
+
+def q_pass_stats_agg(spark, sf_dir):
+    """StatisticsCollectionPass analog (reference
+    StatisticsCollectionPass.kt:39-62): partial-agg-friendly hash
+    aggregation with exact decimal sums (TPC-H Q1 shape)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            # exact decimal product at scale 4; no final rounding (the two
+            # engines disagree on decimal half-rounding, exactness doesn't)
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(3,2)") - dec("l_discount"))
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PASS_STATS_AGG = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_link_bestpick(spark, sf_dir):
+    """CallResolver best-candidate pick (reference CallResolver.kt:68,
+    SymbolResolverPass.kt:81-94): rank candidates per reference, keep the
+    winner — row_number over a deterministic total order."""
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber"), F.asc("l_partkey"),
+        F.asc("l_suppkey"),
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("l_suppkey").alias("best_supp"),
+            dec("l_extendedprice").alias("best_price"),
+        )
+    )
+
+
+SQL_LINK_BESTPICK = """
+SELECT l_orderkey AS order_key, l_suppkey AS best_supp,
+       CAST(l_extendedprice AS DECIMAL(18,2)) AS best_price
+FROM lineitem
+QUALIFY row_number() OVER (
+  PARTITION BY l_orderkey
+  ORDER BY l_extendedprice DESC, l_linenumber, l_partkey, l_suppkey) = 1
+"""
+
+
+def q_region_revenue(spark, sf_dir):
+    """Broadcast symbol-dict join chain (reference ImportResolver
+    equi-join, ImportResolver.kt:51-100): fact joins three broadcast
+    dims, then aggregates."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+SQL_REGION_REVENUE = """
+SELECT r_name, COUNT(*) AS n_orders,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_unresolved_refs(spark, sf_dir):
+    """Unresolved-reference anti join (reference: refs with no matching
+    decl become inferred nodes, VariableUsageResolver.kt:63-92): customers
+    that never ordered."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+SQL_UNRESOLVED_REFS = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_nationkey_union(spark, sf_dir):
+    """Set-op union (reference: merging per-file parse outputs +
+    inferred-node union, TranslationManager.kt:292)."""
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        cust.select(F.col("c_nationkey").alias("nationkey"))
+        .union(supp.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+SQL_NATIONKEY_UNION = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_canon_cc(spark, sf_dir):
+    """Cross-partition canonicalization via connected components — the
+    TypeResolver-dedup / Tarjan-SCC analog (reference TypeResolver.kt:
+    107-144, Components.kt:79-131) on a 30-round chain graph: edges
+    (k, k+1) within each 50-key block; ground truth = block minimum.
+    Exercises the alternating large-star/small-star loop end to end."""
+    cust = t(spark, sf_dir, "customer")
+    edges = cust.filter(F.col("c_custkey") % 50 != 49).select(
+        F.col("c_custkey").alias("src"), (F.col("c_custkey") + 1).alias("dst")
+    )
+    return canonicalize.connected_components(edges)
+
+
+SQL_CANON_CC = """
+SELECT c_custkey AS member_id,
+       CAST(floor(c_custkey / 50) * 50 AS BIGINT) AS component_id
+FROM customer
+"""
+
+
+def q_eog_order_edges(spark, sf_dir):
+    """EOG edge emission (reference EvaluationOrderGraphPass.kt:75-205
+    chains statements in execution order, with INDEX edge properties):
+    lag over a deterministic total order within each order."""
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return (
+        li.withColumn("src_part", F.lag("l_partkey").over(w))
+        .filter(F.col("src_part").isNotNull())
+        .select(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("src_part").alias("src_part"),
+            F.col("l_partkey").alias("dst_part"),
+        )
+    )
+
+
+SQL_EOG_ORDER_EDGES = """
+SELECT order_key, src_part, dst_part FROM (
+  SELECT l_orderkey AS order_key,
+         lag(l_partkey) OVER (PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_partkey, l_suppkey) AS src_part,
+         l_partkey AS dst_part
+  FROM lineitem)
+WHERE src_part IS NOT NULL
+"""
+
+
+def q_cooccur_parts(spark, sf_dir):
+    """Co-occurrence edge emission (the DFG-edge-per-node-pair analog,
+    reference DFGPass.kt:43-91), via the array pair kernel — collect_set
+    + in-array pair expansion, never a self-join."""
+    li = t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = per_order.select(F.explode(sorted_pairs(F.col("parts"))).alias("p"))
+    return pairs.groupBy(
+        F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    ).agg(F.count(F.lit(1)).alias("n_cooccur"))
+
+
+SQL_COOCCUR_PARTS = """
+SELECT a, b, COUNT(*) AS n_cooccur FROM (
+  SELECT DISTINCT l1.l_orderkey, l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey)
+GROUP BY a, b
+"""
+
+
+def q_topk_customers(spark, sf_dir):
+    """Top-k candidate ranking (reference best-match pick generalized):
+    exact decimal revenue, deterministic tie-break."""
+    orders = t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice")).alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", F.col("o_custkey").alias("custkey"), "revenue")
+    )
+
+
+SQL_TOPK_CUSTOMERS = """
+SELECT CAST(row_number() OVER (ORDER BY revenue DESC, o_custkey) AS INT) AS rank,
+       o_custkey AS custkey, revenue
+FROM (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      FROM orders GROUP BY o_custkey)
+QUALIFY rank <= 10
+"""
+
+
+def q_order_supp_set(spark, sf_dir):
+    """MultiValueEvaluator collect_set + NumberSet interval analog
+    (reference MultiValueEvaluator.kt:43-60, NumberSet.kt:28-79)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_orderkey").alias("order_key")).agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("l_suppkey"))).alias("supp_set"),
+        F.min("l_suppkey").alias("supp_min"),
+        F.max("l_suppkey").alias("supp_max"),
+    )
+
+
+SQL_ORDER_SUPP_SET = """
+SELECT l_orderkey AS order_key,
+       array_to_string(list_sort(list(DISTINCT l_suppkey)), ',') AS supp_set,
+       MIN(l_suppkey) AS supp_min, MAX(l_suppkey) AS supp_max
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q_hotspot_scan(spark, sf_dir):
+    """Hotspot predicate scan (reference StringPropertyPass.kt:69-110
+    selects sinks by FQN regex): regex + range filter, pushdown-friendly."""
+    part = t(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_name").rlike("^(red|blue) ") & (F.col("p_size") >= 10)
+    ).select("p_partkey", "p_name", "p_type", "p_size")
+
+
+SQL_HOTSPOT_SCAN = """
+SELECT p_partkey, p_name, p_type, p_size FROM part
+WHERE regexp_matches(p_name, '^(red|blue) ') AND p_size >= 10
+"""
+
+
+def q_brand_price_rank(spark, sf_dir):
+    """Window dense_rank within partition (the per-scope candidate
+    ordering analog)."""
+    part = t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return part.select(
+        "p_partkey",
+        "p_brand",
+        dec("p_retailprice").alias("price"),
+        F.row_number().over(w).alias("brand_rank"),
+    ).filter(F.col("brand_rank") <= 3)
+
+
+SQL_BRAND_PRICE_RANK = """
+SELECT p_partkey, p_brand, CAST(p_retailprice AS DECIMAL(18,2)) AS price,
+       CAST(row_number() OVER (PARTITION BY p_brand
+         ORDER BY p_retailprice DESC, p_partkey) AS INT) AS brand_rank
+FROM part QUALIFY brand_rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. events: windowed aggregation + sessionization
+
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation over the event stream (batch shape of
+    the streaming rollup)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).alias("sum_value"),
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sessions(spark, sf_dir):
+    """Sessionization: 30-minute-gap session assignment via cumulative
+    window sum — the stateful-operator shape (applyInPandasWithState
+    analog) expressed as pure window algebra."""
+    ev = t(spark, sf_dir, "events")
+    order = [F.asc("ts"), F.asc("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    # parquet stores TIMESTAMP_NTZ; session tz is UTC so the cast is exact
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    wsum = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.withColumn("session_idx", F.sum(is_new).over(wsum))
+        .groupBy("user_id", "session_idx")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+SQL_EVENTS_SESSIONS = """
+SELECT user_id, session_idx, COUNT(*) AS n_events FROM (
+  SELECT user_id, event_id,
+         SUM(CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM (SELECT user_id, event_id, ts,
+               epoch_us(ts) - lag(epoch_us(ts))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events))
+GROUP BY user_id, session_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. KG construction over the documents table
+
+
+def _doc_entity_dict(spark: SparkSession) -> DataFrame:
+    rows = [(w, typ, f"e:{w}") for w, typ in DOC_ENTITIES.items()]
+    return spark.createDataFrame(rows, "alias string, entity_type string, entity_id string")
+
+
+def q_kg_doc_mentions(spark, sf_dir):
+    """Mention detection + entity linking: tokenize, posexplode, broadcast
+    join against the alias dictionary (the VariableUsageResolver shape,
+    reference VariableUsageResolver.kt:63-92)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(textstats.doc_tokens(F.col("text"))).alias("tok_idx", "alias"),
+    )
+    d = _doc_entity_dict(spark)
+    return toks.join(F.broadcast(d), "alias").select(
+        "doc_id", "tok_idx", "alias", "entity_id", "entity_type"
+    )
+
+
+SQL_KG_DOC_MENTIONS = f"""
+SELECT doc_id, CAST(u[2] AS INT) AS tok_idx, u[1] AS alias,
+       'e:' || u[1] AS entity_id,
+       CASE u[1]
+         WHEN 'spark' THEN 'TOOL' WHEN 'table' THEN 'OBJ' WHEN 'join' THEN 'OP'
+         WHEN 'window' THEN 'OP' WHEN 'hash' THEN 'OP' WHEN 'stream' THEN 'OBJ'
+         WHEN 'vector' THEN 'OBJ' WHEN 'customer' THEN 'OBJ' END AS entity_type
+FROM (
+  SELECT doc_id, unnest(list_zip(toks, range(0, len(toks)))) AS u
+  FROM (SELECT doc_id, {TOKEN_SQL} AS toks FROM documents))
+WHERE u[1] IN ({_ENT_IN})
+"""
+
+
+def q_kg_doc_chunks(spark, sf_dir):
+    """Sentence-segmentation analog for unpunctuated token streams:
+    10-token chunks with index (posexplode; the INDEX edge property,
+    reference Properties.java:43-50)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = textstats.doc_tokens(F.col("text"))
+    return (
+        docs.filter(F.size(toks) > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(chunk_array(toks, 10), lambda c: F.array_join(c, " "))
+            ).alias("chunk_idx", "chunk_text"),
+        )
+    )
+
+
+SQL_KG_DOC_CHUNKS = f"""
+SELECT doc_id, CAST(u[2] AS INT) AS chunk_idx, u[1] AS chunk_text
+FROM (
+  SELECT doc_id, unnest(list_zip(chunks, range(0, len(chunks)))) AS u
+  FROM (
+    SELECT doc_id,
+           list_transform(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)),
+             i -> array_to_string(toks[i*10+1 : i*10+10], ' ')) AS chunks
+    FROM (SELECT doc_id, {TOKEN_SQL} AS toks FROM documents)
+    WHERE len(toks) > 0))
+"""
+
+
+def q_kg_doc_cooccur(spark, sf_dir):
+    """The flagship triple emission: entities co-occurring within a
+    10-token chunk, deduplicated with evidence counts — the full
+    extract → link → emit → salted-agg pipeline shape on real tables."""
+    m = q_kg_doc_mentions(spark, sf_dir).withColumn(
+        "chunk", F.floor(F.col("tok_idx") / 10).cast("int")
+    )
+    per_chunk = m.groupBy("doc_id", "chunk").agg(
+        F.sort_array(F.collect_set("entity_id")).alias("ents")
+    )
+    pairs = per_chunk.select(F.explode(sorted_pairs(F.col("ents"))).alias("p"))
+    return pairs.groupBy(
+        F.col("p.a").alias("subj"), F.col("p.b").alias("obj")
+    ).agg(F.count(F.lit(1)).alias("n_evidence")).select(
+        "subj", F.lit("co_occurs_with").alias("pred"), "obj", "n_evidence"
+    )
+
+
+SQL_KG_DOC_COOCCUR = f"""
+WITH m AS (
+  SELECT DISTINCT doc_id, CAST(floor(CAST(u[2] AS INT) / 10) AS INT) AS chunk,
+         'e:' || u[1] AS entity_id
+  FROM (
+    SELECT doc_id, unnest(list_zip(toks, range(0, len(toks)))) AS u
+    FROM (SELECT doc_id, {TOKEN_SQL} AS toks FROM documents))
+  WHERE u[1] IN ({_ENT_IN})
+)
+SELECT a.entity_id AS subj, 'co_occurs_with' AS pred, b.entity_id AS obj,
+       COUNT(*) AS n_evidence
+FROM m a JOIN m b
+  ON a.doc_id = b.doc_id AND a.chunk = b.chunk AND a.entity_id < b.entity_id
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. text analysis
+
+
+def q_ts_token_stats(spark, sf_dir):
+    return textstats.token_stats(t(spark, sf_dir, "documents"))
+
+
+SQL_TS_TOKEN_STATS = f"""
+SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+       round(len(list_distinct(toks)) / len(toks), 4) AS ttr,
+       round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+             (a, b) -> a + b) / len(toks), 4) AS mean_tok_len
+FROM (SELECT doc_id, {TOKEN_SQL} AS toks FROM documents)
+WHERE len(toks) > 0
+"""
+
+
+def q_ts_quality(spark, sf_dir):
+    return textstats.quality_score(t(spark, sf_dir, "documents"))
+
+
+_EN_IN = ", ".join(f"'{w}'" for w in textstats.LANG_STOPWORDS["en"])
+
+SQL_TS_QUALITY = f"""
+SELECT doc_id, CAST(length(text) AS INT) AS n_chars_text,
+       CAST(len(list_filter(toks, tk -> tk IN ({_EN_IN}))) AS INT) AS stop_hits,
+       round(
+         (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END) * 0.4
+         + least(len(list_filter(toks, tk -> tk IN ({_EN_IN}))) / 5.0, 1.0) * 0.3
+         + least(len(list_distinct(toks)) / len(toks) * 2, 1.0) * 0.3, 4) AS quality
+FROM (SELECT doc_id, text, {TOKEN_SQL} AS toks FROM documents)
+WHERE len(toks) > 0
+"""
+
+
+def q_ts_lang_id(spark, sf_dir):
+    return textstats.lang_id(t(spark, sf_dir, "documents"))
+
+
+def _langid_sql() -> str:
+    scores = []
+    for lg, words in textstats.LANG_STOPWORDS.items():
+        in_list = ", ".join(f"'{w}'" for w in words)
+        scores.append(
+            f"CAST(len(list_filter(toks, tk -> tk IN ({in_list}))) AS INT) AS score_{lg}"
+        )
+    langs = list(textstats.LANG_STOPWORDS)
+    g = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    case = "CASE "
+    for lg in langs:
+        case += f"WHEN score_{lg} = {g} THEN '{lg}' "
+    case += "ELSE 'und' END"
+    pred = f"CASE WHEN {g} = 0 THEN 'und' ELSE {case} END"
+    return f"""
+SELECT doc_id, lang, {', '.join(f'score_{lg}' for lg in langs)}, {pred} AS pred_lang
+FROM (SELECT doc_id, lang, {', '.join(scores)}
+      FROM (SELECT doc_id, lang, {TOKEN_SQL} AS toks FROM documents))
+"""
+
+
+SQL_TS_LANG_ID = _langid_sql()
+
+
+def q_ts_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(t(spark, sf_dir, "documents"))
+
+
+_NORM_TEXT_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_FP_SQL = char_poly_hash_sql(_NORM_TEXT_SQL)
+
+SQL_TS_FINGERPRINT = f"""
+SELECT doc_id, {_FP_SQL} AS fp,
+       CAST(length(text) AS INT) AS n_chars_text
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. deduplication
+
+
+def q_dd_exact(spark, sf_dir):
+    return dedup.exact_dup_map(t(spark, sf_dir, "documents"))
+
+
+SQL_DD_EXACT = """
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS canonical_id,
+       doc_id != MIN(doc_id) OVER (PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS is_dup
+FROM documents
+"""
+
+
+def q_dd_minhash(spark, sf_dir):
+    return dedup.minhash_signatures(t(spark, sf_dir, "documents"))
+
+
+SQL_DD_MINHASH = f"""{_SHINGLE_CTE}
+SELECT doc_id, CAST(k AS INT) AS k,
+       list_min(list_transform(hs, h -> ((2*k+1)*h + 1000003*k) % {CHAR_POLY_P})) AS minhash
+FROM sh, (SELECT unnest(range(0, {dedup.MINHASH_K})) AS k)
+"""
+
+
+def q_dd_lsh_pairs(spark, sf_dir):
+    sig = dedup.minhash_signatures(t(spark, sf_dir, "documents"))
+    return dedup.lsh_candidate_pairs(sig)
+
+
+SQL_DD_LSH_PAIRS = f"""{_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id, CAST(k AS INT) AS k,
+         list_min(list_transform(hs, h -> ((2*k+1)*h + 1000003*k) % {CHAR_POLY_P})) AS minhash
+  FROM sh, (SELECT unnest(range(0, {dedup.MINHASH_K})) AS k)
+), banded AS (
+  SELECT doc_id, k // 2 AS band,
+         MIN(CASE WHEN k % 2 = 0 THEN minhash END) AS h0,
+         MIN(CASE WHEN k % 2 = 1 THEN minhash END) AS h1
+  FROM sig GROUP BY doc_id, k // 2
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM banded x JOIN banded y
+  ON x.band = y.band AND x.h0 = y.h0 AND x.h1 = y.h1 AND x.doc_id < y.doc_id
+"""
+
+
+def q_dd_jaccard(spark, sf_dir):
+    return dedup.jaccard_pairs(t(spark, sf_dir, "documents"), min_jaccard=0.0)
+
+
+SQL_DD_JACCARD = f"""{_SHINGLE_CTE},
+idx AS (SELECT doc_id, lang, unnest(list_distinct(hs)) AS s FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM idx GROUP BY doc_id),
+common AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_common
+  FROM idx l JOIN idx r
+    ON l.s = r.s AND l.lang = r.lang AND l.doc_id < r.doc_id
+  GROUP BY 1, 2)
+SELECT a, b, round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+"""
+
+
+def q_dd_simhash(spark, sf_dir):
+    return dedup.simhash(t(spark, sf_dir, "documents"))
+
+
+SQL_DD_SIMHASH = f"""{_SHINGLE_CTE}
+SELECT doc_id,
+       CAST(SUM(CASE WHEN vote > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+FROM (
+  SELECT doc_id, b,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(hs, h -> ((h >> b) & 1) * 2 - 1)), (x, y) -> x + y) AS vote
+  FROM sh, (SELECT unnest(range(0, {dedup.SIMHASH_BITS})) AS b))
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. similarity search over embeddings
+
+_QUERY_IDS = [0, 1, 2, 3, 4]
+_TOPK = 10
+_EMB_DIM = 64
+
+
+def q_sim_cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk(
+        t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=_TOPK
+    )
+
+
+SQL_SIM_COSINE_TOPK = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, emb AS q_emb FROM e
+  WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})
+), scored AS (
+  SELECT q_id, vec_id AS neighbor_id,
+         {_dot_sql('q_emb', 'emb')} / ({_norm_sql('q_emb')} * {_norm_sql('emb')}) AS score_raw
+  FROM e, q WHERE vec_id != q_id
+)
+SELECT q_id,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY score_raw DESC, neighbor_id) AS INT) AS rank,
+       neighbor_id, round(score_raw, 6) AS score
+FROM scored
+QUALIFY rank <= {_TOPK}
+"""
+
+
+def q_sim_lsh_buckets(spark, sf_dir):
+    return similarity.lsh_buckets(t(spark, sf_dir, "embeddings"), dim=_EMB_DIM)
+
+
+def _lsh_bucket_sql() -> str:
+    mod = similarity.HYPERPLANE_MOD
+    dots = []
+    for j in range(similarity.LSH_NBITS):
+        prods = (
+            f"list_transform(range(0, {_EMB_DIM}), "
+            f"d -> CAST(embedding[d+1] AS DOUBLE) * "
+            f"((({j} * 8191 + d * 524287) % {mod}) / {mod} - 0.5))"
+        )
+        dot = _FOLD_SUM_D.format(xs=prods)
+        dots.append(f"(CASE WHEN {dot} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)")
+    return (
+        "SELECT vec_id, " + " + ".join(dots) + " AS bucket FROM embeddings"
+    )
+
+
+SQL_SIM_LSH_BUCKETS = _lsh_bucket_sql()
+
+
+# ---------------------------------------------------------------------------
+# 7. multimodal plumbing (binary payload metadata)
+
+
+def q_mm_payload_meta(spark, sf_dir):
+    """Opaque-binary column plumbing: payload bytes + typed metadata
+    (byte length, content hash). The decode/feature-extract UDF path is
+    in operators/multimodal.py (stubbed per environment constraints);
+    this query verifies the schema/bytes side end to end."""
+    docs = t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).alias("n_bytes"),
+        F.sha2(payload, 256).alias("payload_sha256"),
+    )
+
+
+SQL_MM_PAYLOAD_META = """
+SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       sha256(text) AS payload_sha256
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # relational / reference-pass analogs
+    "pass_stats_agg": (q_pass_stats_agg, SQL_PASS_STATS_AGG),
+    "link_bestpick": (q_link_bestpick, SQL_LINK_BESTPICK),
+    "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
+    "unresolved_refs": (q_unresolved_refs, SQL_UNRESOLVED_REFS),
+    "nationkey_union": (q_nationkey_union, SQL_NATIONKEY_UNION),
+    "canon_cc": (q_canon_cc, SQL_CANON_CC),
+    "eog_order_edges": (q_eog_order_edges, SQL_EOG_ORDER_EDGES),
+    "cooccur_parts": (q_cooccur_parts, SQL_COOCCUR_PARTS),
+    "topk_customers": (q_topk_customers, SQL_TOPK_CUSTOMERS),
+    "order_supp_set": (q_order_supp_set, SQL_ORDER_SUPP_SET),
+    "hotspot_scan": (q_hotspot_scan, SQL_HOTSPOT_SCAN),
+    "brand_price_rank": (q_brand_price_rank, SQL_BRAND_PRICE_RANK),
+    # events
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
+    # KG over documents
+    "kg_doc_mentions": (q_kg_doc_mentions, SQL_KG_DOC_MENTIONS),
+    "kg_doc_chunks": (q_kg_doc_chunks, SQL_KG_DOC_CHUNKS),
+    "kg_doc_cooccur": (q_kg_doc_cooccur, SQL_KG_DOC_COOCCUR),
+    # text analysis
+    "ts_token_stats": (q_ts_token_stats, SQL_TS_TOKEN_STATS),
+    "ts_quality": (q_ts_quality, SQL_TS_QUALITY),
+    "ts_lang_id": (q_ts_lang_id, SQL_TS_LANG_ID),
+    "ts_fingerprint": (q_ts_fingerprint, SQL_TS_FINGERPRINT),
+    # dedup
+    "dd_exact": (q_dd_exact, SQL_DD_EXACT),
+    "dd_minhash": (q_dd_minhash, SQL_DD_MINHASH),
+    "dd_lsh_pairs": (q_dd_lsh_pairs, SQL_DD_LSH_PAIRS),
+    "dd_jaccard": (q_dd_jaccard, SQL_DD_JACCARD),
+    "dd_simhash": (q_dd_simhash, SQL_DD_SIMHASH),
+    # similarity
+    "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
+    "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
+    # multimodal plumbing
+    "mm_payload_meta": (q_mm_payload_meta, SQL_MM_PAYLOAD_META),
+}
