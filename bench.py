@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the KG pipeline
+chain (extract → link → canonicalize → triple agg) over a
+deterministically synthesized page corpus.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Every query is forced through the noop sink (full materialization — a
+bare count() would let Catalyst prune the interesting work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pass_stats_agg",
+    "link_bestpick",
+    "region_revenue",
+    "canon_cc",
+    "eog_order_edges",
+    "cooccur_parts",
+    "events_sessions",
+    "kg_doc_cooccur",
+    "ts_fingerprint",
+    "dd_minhash",
+    "dd_lsh_pairs",
+    "dd_jaccard",
+    "dd_simhash",
+    "sim_cosine_topk",
+    "sim_lsh_buckets",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def kg_chain(spark, pages, alias_dict):
+    """The full KG construction chain as one lazy plan (no snapshot IO —
+    bench measures compute; resume/IO is tested in the pytest suite)."""
+    from pyspark.sql import functions as F
+
+    from cpg_spark.operators import canonicalize, extract, link, materialize
+
+    sent = extract.sentences(pages)
+    ment = extract.mentions(sent)
+    links = link.link_mentions(ment, alias_dict)
+    comps = canonicalize.canonical_map(alias_dict)
+    # the fan-out point: three triple branches read clinks — cache it
+    # (the real pipeline materializes this stage to a snapshot instead)
+    clinks = materialize.canonical_links(links, comps).cache()
+    triples = materialize.triples_from_links(clinks, comps)
+    return materialize.triples_agg(triples)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "100000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+
+    from cpg_spark.queries import QUERIES
+    from cpg_spark.session import get_spark
+    from cpg_spark.synth_spark import alias_dict_df, synth_pages
+
+    spark = get_spark("bench")
+
+    # materialize the synthetic corpus once so the measured KG run reads
+    # parquet (same shape as the Iceberg pages table)
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
+    pages_path = os.path.join(bench_dir, f"pages_{n_pages}.parquet")
+    if not os.path.exists(pages_path):
+        synth_pages(spark, n_pages).repartition(64).write.mode("overwrite").parquet(
+            pages_path
+        )
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _ = QUERIES[name]
+        t0 = time.monotonic()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    pages = spark.read.parquet(pages_path)
+    adict = alias_dict_df(spark)
+    t0 = time.monotonic()
+    agg = kg_chain(spark, pages, adict)
+    n_triples = agg.count()
+    kg_sec = round(time.monotonic() - t0, 3)
+    timings["kg_pipeline"] = kg_sec
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "kg_pages": n_pages,
+                "kg_triples": n_triples,
+                "kg_triples_per_sec": round(n_triples / kg_sec, 1),
+                "kg_pages_per_sec": round(n_pages / kg_sec, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

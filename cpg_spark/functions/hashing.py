@@ -34,17 +34,42 @@ def entity_id_py(name: str, entity_type: str) -> str:
     return f"e:{digest}"
 
 
+# dual-base polynomial hash for inferred ids: 62 bits from two independent
+# folds. NOT sha1 — Spark's sha1/sha2/md5 expressions do a per-row
+# MessageDigest provider lookup that serializes under many threads
+# (measured: 483k rows cost 12s at local[32] vs ~1s for codegen'd math,
+# and the contention grows with parallelism — it inverted the scaling
+# curve). Digest functions stay out of any per-row hot path.
+_P31 = (1 << 31) - 1
+
+
+def _poly_col(s: Column, base: int) -> Column:
+    chars = F.filter(F.split(s, ""), lambda c: F.length(c) > 0)
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % _P31,
+    )
+
+
+def _poly_py(s: str, base: int) -> int:
+    acc = 0
+    for ch in s:
+        acc = (acc * base + ord(ch)) % _P31
+    return acc
+
+
 def inferred_id_py(alias_norm: str) -> str:
-    digest = hashlib.sha1(f"inferred\x00{alias_norm}".encode()).hexdigest()[:12]
-    return f"inf:{digest}"
+    h = (_poly_py(alias_norm, 31) << 31) | _poly_py(alias_norm, 131)
+    return f"inf:{h:016x}"
 
 
 def inferred_id_col(alias_norm: Column) -> Column:
-    """JVM-side twin of inferred_id_py (sha1 available as F.sha1)."""
-    return F.concat(
-        F.lit("inf:"),
-        F.substring(F.sha1(F.encode(F.concat(F.lit("inferred\x00"), alias_norm), "UTF-8")), 1, 12),
+    """JVM-side twin of inferred_id_py — pure codegen'd arithmetic."""
+    h = F.shiftleft(_poly_col(alias_norm, 31), 31).bitwiseOR(
+        _poly_col(alias_norm, 131)
     )
+    return F.concat(F.lit("inf:"), F.lpad(F.lower(F.hex(h)), 16, "0"))
 
 
 # --- engine-portable polynomial string hash ---------------------------------

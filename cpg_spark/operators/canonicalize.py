@@ -75,20 +75,36 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_edges = e.count()
+    # adaptive layout: a dictionary-sized graph must not pay a
+    # 32-partition shuffle x ~10 iterations of driver round-trips; a
+    # web-sized graph keeps the session's full shuffle width
+    spark = e.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    nparts = max(1, min(width, n_edges // 50_000 + 1))
+    if nparts < width:
+        e = e.repartition(nparts, "u").localCheckpoint(eager=True)
+
     all_nodes = (
         e.select(F.col("u").alias("member_id"))
         .union(e.select(F.col("v").alias("member_id")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if e.isEmpty():
+    if n_edges == 0:
         return all_nodes.select(
             "member_id", F.col("member_id").alias("component_id")
         )
 
     prev = None
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # lazy checkpoint: the checksum action both materializes the
+        # iteration (truncating lineage) and tests convergence — one
+        # driver round-trip per round instead of two
+        step = _small_star(_large_star(e))
+        if nparts < width:
+            step = step.repartition(nparts, "u")
+        e = step.localCheckpoint(eager=False)
         cur = _checksum(e)
         if cur == prev:
             break

