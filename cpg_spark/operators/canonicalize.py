@@ -56,18 +56,54 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out
 
 
+def _unionfind_driver(e: DataFrame) -> DataFrame:
+    """Driver-side union-find for dictionary-sized edge sets. The
+    reference runs Tarjan on the driver unconditionally
+    (Components.kt:97-131); here it is gated behind a size threshold
+    where a collect is strictly cheaper than ~log(n) shuffle rounds —
+    the distributed large-star/small-star path remains the scale path."""
+    rows = e.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        u, v = r["u"], r["v"]
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    nodes = {x for r in rows for x in (r["u"], r["v"])}
+    out = [(m, find(m)) for m in sorted(nodes)]
+    spark = e.sparkSession
+    dt = e.schema["u"].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("member_id", dt), StructField("component_id", dt)]
+    )
+    return spark.createDataFrame(out, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    driver_threshold: int = 10_000,
 ) -> DataFrame:
     """(member_id, component_id) for every node appearing in `edges`;
     component_id = lexicographic min member id.
 
-    Each iteration localCheckpoints (lineage truncation — the iterative
-    analog of the reference's per-pass materialization). Convergence =
-    stable (count, checksum) of the edge set.
+    Edge sets up to `driver_threshold` run as driver-side union-find (a
+    collect beats log(n) shuffle rounds); larger graphs run the
+    alternating-star loop, each iteration localCheckpointed (lineage
+    truncation). Convergence = stable (count, checksum) of the edge set.
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -76,6 +112,8 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     n_edges = e.count()
+    if 0 < n_edges <= driver_threshold:
+        return _unionfind_driver(e)
     # adaptive layout: a dictionary-sized graph must not pay a
     # 32-partition shuffle x ~10 iterations of driver round-trips; a
     # web-sized graph keeps the session's full shuffle width
@@ -122,6 +160,40 @@ def connected_components(
             F.coalesce("component_id", "member_id").alias("component_id"),
         )
     )
+
+
+def bfs_reach(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 20,
+) -> DataFrame:
+    """All nodes reachable from `seeds` (column `node`) following edges
+    forward, with minimal hop count — the reference's BFS path followers
+    (Extensions.kt:210-435 followNextDFGEdgesUntilHit et al.) as
+    iterative frontier joins with an anti-join visited set.
+
+    Each round: frontier ⋈ edges → candidates, minus visited (anti-join),
+    checkpoint. Terminates when the frontier empties or max_hops."""
+    visited = seeds.select(F.col("node"), F.lit(0).alias("hops")).localCheckpoint(
+        eager=True
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges[src])
+            .select(F.col(dst).alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(hop).alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
 
 
 def dict_duplicate_edges(alias_dict: DataFrame) -> DataFrame:

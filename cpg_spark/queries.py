@@ -231,7 +231,8 @@ def q_canon_cc(spark, sf_dir):
     edges = cust.filter(F.col("c_custkey") % 50 != 49).select(
         F.col("c_custkey").alias("src"), (F.col("c_custkey") + 1).alias("dst")
     )
-    return canonicalize.connected_components(edges)
+    # driver_threshold=0: always exercise the distributed star loop here
+    return canonicalize.connected_components(edges, driver_threshold=0)
 
 
 SQL_CANON_CC = """
@@ -372,6 +373,81 @@ SELECT p_partkey, p_brand, CAST(p_retailprice AS DECIMAL(18,2)) AS price,
        CAST(row_number() OVER (PARTITION BY p_brand
          ORDER BY p_retailprice DESC, p_partkey) AS INT) AS brand_rank
 FROM part QUALIFY brand_rank <= 3
+"""
+
+
+def q_reach_bfs(spark, sf_dir):
+    """BFS reachability with minimal hop counts (the reference's DFG/EOG
+    path followers, Extensions.kt:210-435, as iterative frontier joins
+    with an anti-join visited set). Graph: within each 50-key block,
+    edges k→k+1 and k→k+5; seeds every 300th key. Oracle: recursive CTE."""
+    cust = t(spark, sf_dir, "customer")
+    step1 = cust.filter(F.col("c_custkey") % 50 != 49).select(
+        F.col("c_custkey").alias("src"), (F.col("c_custkey") + 1).alias("dst")
+    )
+    step5 = cust.filter(F.col("c_custkey") % 50 <= 44).select(
+        F.col("c_custkey").alias("src"), (F.col("c_custkey") + 5).alias("dst")
+    )
+    edges = step1.union(step5)
+    seeds = cust.filter(F.col("c_custkey") % 300 == 0).select(
+        F.col("c_custkey").alias("node")
+    )
+    return canonicalize.bfs_reach(edges, seeds, max_hops=15).select(
+        "node", F.col("hops").cast("int").alias("hops")
+    )
+
+
+SQL_REACH_BFS = """
+WITH RECURSIVE e AS (
+  SELECT c_custkey AS src, c_custkey + 1 AS dst FROM customer WHERE c_custkey % 50 != 49
+  UNION ALL
+  SELECT c_custkey, c_custkey + 5 FROM customer WHERE c_custkey % 50 <= 44
+), r AS (
+  SELECT c_custkey AS node, 0 AS hops FROM customer WHERE c_custkey % 300 = 0
+  UNION
+  SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.node
+)
+SELECT node, CAST(MIN(hops) AS INT) AS hops FROM r GROUP BY node
+"""
+
+
+def q_events_order_check(spark, sf_dir):
+    """Typestate/order evaluation (the reference DFAOrderEvaluator.kt
+    checks call sequences along the EOG against a DFA): per user, the
+    ordered event-initial string and whether a purchase happens before
+    any signup (rule violation). Ordered aggregation via array_sort of
+    (ts, event_id, initial) structs — deterministic total order."""
+    ev = t(spark, sf_dir, "events")
+    ini = F.substring("event_type", 1, 1)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(ts_us.alias("t"), F.col("event_id").alias("e"), ini.alias("i"))
+                )
+            ),
+            lambda x: x.getField("i"),
+        ),
+        "",
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        seq.alias("seq"),
+    ).select(
+        "user_id",
+        "n_events",
+        "seq",
+        (~F.col("seq").rlike("^[cev]*p")).alias("order_ok"),
+    )
+
+
+SQL_EVENTS_ORDER_CHECK = """
+SELECT user_id, COUNT(*) AS n_events,
+       string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq,
+       NOT regexp_matches(string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id),
+                          '^[cev]*p') AS order_ok
+FROM events GROUP BY user_id
 """
 
 
@@ -794,6 +870,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "unresolved_refs": (q_unresolved_refs, SQL_UNRESOLVED_REFS),
     "nationkey_union": (q_nationkey_union, SQL_NATIONKEY_UNION),
     "canon_cc": (q_canon_cc, SQL_CANON_CC),
+    "reach_bfs": (q_reach_bfs, SQL_REACH_BFS),
+    "events_order_check": (q_events_order_check, SQL_EVENTS_ORDER_CHECK),
     "eog_order_edges": (q_eog_order_edges, SQL_EOG_ORDER_EDGES),
     "cooccur_parts": (q_cooccur_parts, SQL_COOCCUR_PARTS),
     "topk_customers": (q_topk_customers, SQL_TOPK_CUSTOMERS),
