@@ -106,6 +106,31 @@ def lsh_buckets(emb: DataFrame, dim: int, nbits: int = LSH_NBITS) -> DataFrame:
     return emb.select("vec_id", bucket.alias("bucket"))
 
 
+def embedding_neardup_pairs(
+    emb: DataFrame, dim: int, threshold: float = 0.95, nbits: int = 8
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket first (the
+    candidate blocker), exact cosine inside each bucket, keep pairs over
+    the threshold. Returns (a, b, score), a < b."""
+    b = lsh_buckets(emb, dim, nbits)
+    withb = emb.join(b, "vec_id")
+    left = withb.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("a_emb"), "bucket"
+    )
+    right = withb.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("b_emb"), "bucket"
+    )
+    pairs = left.join(right, ["bucket"]).filter(F.col("a") < F.col("b"))
+    scored = pairs.withColumn(
+        "score_raw",
+        _dot(F.col("a_emb"), F.col("b_emb"))
+        / (_norm(F.col("a_emb")) * _norm(F.col("b_emb"))),
+    )
+    return scored.filter(F.col("score_raw") >= threshold).select(
+        "a", "b", F.round("score_raw", 6).alias("score")
+    )
+
+
 def bucketed_topk(
     emb: DataFrame, dim: int, k: int = 5, nbits: int = 8
 ) -> DataFrame:

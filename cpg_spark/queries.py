@@ -815,10 +815,10 @@ def q_sim_lsh_buckets(spark, sf_dir):
     return similarity.lsh_buckets(t(spark, sf_dir, "embeddings"), dim=_EMB_DIM)
 
 
-def _lsh_bucket_sql() -> str:
+def _lsh_bucket_expr(nbits: int) -> str:
     mod = similarity.HYPERPLANE_MOD
     dots = []
-    for j in range(similarity.LSH_NBITS):
+    for j in range(nbits):
         prods = (
             f"list_transform(range(0, {_EMB_DIM}), "
             f"d -> CAST(embedding[d+1] AS DOUBLE) * "
@@ -826,12 +826,52 @@ def _lsh_bucket_sql() -> str:
         )
         dot = _FOLD_SUM_D.format(xs=prods)
         dots.append(f"(CASE WHEN {dot} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)")
-    return (
-        "SELECT vec_id, " + " + ".join(dots) + " AS bucket FROM embeddings"
+    return " + ".join(dots)
+
+
+SQL_SIM_LSH_BUCKETS = (
+    f"SELECT vec_id, {_lsh_bucket_expr(similarity.LSH_NBITS)} AS bucket FROM embeddings"
+)
+
+
+def q_dd_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup: LSH-bucket blocking + exact in-bucket
+    cosine over threshold (the scale path for vector dedup)."""
+    return similarity.embedding_neardup_pairs(
+        t(spark, sf_dir, "embeddings"), dim=_EMB_DIM, threshold=0.3, nbits=8
     )
 
 
-SQL_SIM_LSH_BUCKETS = _lsh_bucket_sql()
+SQL_DD_EMBEDDING_NEARDUP = f"""
+WITH b AS (
+  SELECT vec_id, {_lsh_bucket_expr(8)} AS bucket,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), pairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         {_dot_sql('x.emb', 'y.emb')} / ({_norm_sql('x.emb')} * {_norm_sql('y.emb')}) AS score_raw
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT a, b, round(score_raw, 6) AS score FROM pairs WHERE score_raw >= 0.3
+"""
+
+
+def q_salted_brand_count(spark, sf_dir):
+    """Explicit two-phase salted aggregation (operators/skew.py) — the
+    hot-key-safe shape for any re-aggregable UDAF; oracle = plain GROUP BY
+    (semantics identical, physical plan skew-proof)."""
+    from .operators.skew import salted_count
+
+    return salted_count(
+        t(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("suppkey")),
+        ["suppkey"],
+        out="n_items",
+    )
+
+
+SQL_SALTED_BRAND_COUNT = """
+SELECT l_suppkey AS suppkey, COUNT(*) AS n_items FROM lineitem GROUP BY 1
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -896,6 +936,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dd_lsh_pairs": (q_dd_lsh_pairs, SQL_DD_LSH_PAIRS),
     "dd_jaccard": (q_dd_jaccard, SQL_DD_JACCARD),
     "dd_simhash": (q_dd_simhash, SQL_DD_SIMHASH),
+    "dd_embedding_neardup": (q_dd_embedding_neardup, SQL_DD_EMBEDDING_NEARDUP),
+    "salted_count": (q_salted_brand_count, SQL_SALTED_BRAND_COUNT),
     # similarity
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
     "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
