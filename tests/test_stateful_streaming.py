@@ -1,0 +1,67 @@
+"""applyInPandasWithState sessionization vs the batch window-algebra
+twin (queries.q_events_sessions)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cpg_spark.streaming import stateful
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def events_stream_dir(tmp_path, spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    )
+    d = str(tmp_path / "events")
+    ev.coalesce(1).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_stateful_sessions_match_batch(spark, events_stream_dir, tmp_path):
+    schema = "user_id long, ts_us long"
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    sessions = stateful.sessionize_stream(stream)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start_us"]): (r["session_end_us"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess").collect()
+    }
+
+    # batch twin: sessions via lag + cumulative sum (only CLOSED sessions
+    # emit on the stream; the last session per user stays open in state)
+    ev = spark.read.parquet(events_stream_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    is_new = F.when(gap.isNull() | (gap > stateful.SESSION_GAP_US), 1).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        ev.withColumn("sid", F.sum(is_new).over(wsum))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts_us").alias("start"),
+            F.max("ts_us").alias("end"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    last_sid = sess.groupBy("user_id").agg(F.max("sid").alias("max_sid"))
+    closed = sess.join(last_sid, "user_id").filter(F.col("sid") != F.col("max_sid"))
+    expected = {
+        (r["user_id"], r["start"]): (r["end"], r["n"]) for r in closed.collect()
+    }
+
+    assert got == expected
+    assert len(got) > 0
