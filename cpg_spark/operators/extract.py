@@ -45,6 +45,49 @@ def sentences(pages: DataFrame, target_langs: tuple[str, ...] = TARGET_LANGS) ->
     )
 
 
+def sentence_order_edges(sent_df: DataFrame) -> DataFrame:
+    """Per-page EOG: (url, src_idx, dst_idx) linking consecutive sentences
+    — the EvaluationOrderGraphPass analog (reference
+    EvaluationOrderGraphPass.kt:75-205 chains statements per function).
+    Window-lag formulation: JVM-side, whole-stage codegen'd; the
+    applyInPandas twin below exists to golden-test the grouped-map path."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy("sent_idx")
+    return (
+        sent_df.withColumn("src_idx", F.lag("sent_idx").over(w))
+        .filter(F.col("src_idx").isNotNull())
+        .select("url", F.col("src_idx").cast("int"), F.col("sent_idx").alias("dst_idx"))
+    )
+
+
+EOG_EDGE_SCHEMA = "url string, src_idx int, dst_idx int"
+
+
+def sentence_order_edges_pandas(sent_df: DataFrame) -> DataFrame:
+    """Grouped-map twin of sentence_order_edges: per-page sequential
+    construction inside applyInPandas — the pattern for per-document
+    algorithms a window can't express (the reference's per-function EOG
+    builder with branching would go here). Golden-tested equal to the
+    window formulation."""
+    import pandas as pd
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        idx = sorted(pdf["sent_idx"].tolist())
+        url = pdf["url"].iloc[0]
+        return pd.DataFrame(
+            {
+                "url": [url] * max(0, len(idx) - 1),
+                "src_idx": idx[:-1],
+                "dst_idx": idx[1:],
+            }
+        )
+
+    return sent_df.select("url", "sent_idx").groupBy("url").applyInPandas(
+        build, EOG_EDGE_SCHEMA
+    )
+
+
 def mentions(sent_df: DataFrame) -> DataFrame:
     """Capitalized-run mention detection (1-3 Title Case words).
 

@@ -1,0 +1,113 @@
+"""String-approximation chain — the web-KG analog of the fork's flagship
+string-property analysis (cpg-analysis: DFG slice → grammar → charset
+approximation → regular approximation → NFA → regex;
+helper/approximations/CharSetApproximation.kt:40-67,
+helper/automaton/GrammarToNFA.kt, analysis/fsm/NFA.kt:177-186).
+
+Here the "language" of an entity is its set of surface forms (aliases).
+Per canonical entity we synthesize:
+
+  * charset_regex — the charset over-approximation: one character-class
+    quantified to the observed length band (CharSetApproximation analog:
+    sound over-approximation, accepts every member and more);
+  * exact_regex  — trie-factored alternation (a state-elimination
+    special case, the NFA.toRegex analog: exact language, common
+    prefixes merged).
+
+Both are computed per component inside applyInPandas — components are
+small (the reference computes per-hotspot automata locally for the same
+reason), so the parallelism unit is the entity, not the string.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+PATTERN_SCHEMA = StructType(
+    [
+        StructField("component_id", StringType()),
+        StructField("n_aliases", IntegerType()),
+        StructField("charset_regex", StringType()),
+        StructField("exact_regex", StringType()),
+    ]
+)
+
+
+# --- pure functions (unit-testable without Spark) ---------------------------
+
+
+def charset_approx_py(words: list[str]) -> str:
+    """Character-set over-approximation: `[chars]{min,max}` covering every
+    member (sound: accepts all members, over-approximates the language)."""
+    chars = sorted({c for w in words for c in w})
+    lens = [len(w) for w in words]
+    cls = "".join(re.escape(c) if c not in " " else " " for c in chars)
+    return f"[{cls}]{{{min(lens)},{max(lens)}}}"
+
+
+def _trie(words: list[str]) -> dict:
+    root: dict = {}
+    for w in words:
+        node = root
+        for ch in w:
+            node = node.setdefault(ch, {})
+        node[""] = {}  # terminal
+    return root
+
+
+def _trie_to_regex(node: dict) -> str:
+    """State elimination over the trie: alternation of factored branches;
+    optional terminal becomes `(?:...)?`."""
+    branches = []
+    terminal = False
+    for ch, child in sorted(node.items()):
+        if ch == "":
+            terminal = True
+            continue
+        sub = _trie_to_regex(child)
+        branches.append(re.escape(ch) + sub)
+    if not branches:
+        return ""
+    alt = branches[0] if len(branches) == 1 else "(?:" + "|".join(branches) + ")"
+    return f"(?:{alt})?" if terminal else alt
+
+
+def trie_regex_py(words: list[str]) -> str:
+    """Exact regex for the finite language `words`, with common prefixes
+    factored (the NFA→regex synthesis for the trie-shaped automaton)."""
+    return _trie_to_regex(_trie(words))
+
+
+# --- grouped-map operator ----------------------------------------------------
+
+
+def entity_surface_patterns(alias_dict: DataFrame, canon: DataFrame) -> DataFrame:
+    """Per canonical entity: synthesize both approximations over the
+    component's member aliases. canon maps member_id -> component_id
+    (the canonicalize stage output)."""
+    members = alias_dict.join(
+        canon.withColumnRenamed("member_id", "entity_id"), "entity_id"
+    ).select("component_id", "alias")
+
+    def synth(pdf: pd.DataFrame) -> pd.DataFrame:
+        comp = pdf["component_id"].iloc[0]
+        words = sorted(set(pdf["alias"]))
+        return pd.DataFrame(
+            [(comp, len(words), charset_approx_py(words), trie_regex_py(words))],
+            columns=[f.name for f in PATTERN_SCHEMA.fields],
+        )
+
+    # grouped map: one component per group (components are small — the
+    # reference computes per-hotspot automata locally for the same reason,
+    # EndToEndStringPropertyTest.kt:54-90; a mapInPandas over a hash
+    # repartition could split a group across Arrow batches)
+    return members.groupBy("component_id").applyInPandas(synth, PATTERN_SCHEMA)
