@@ -131,6 +131,30 @@ def embedding_neardup_pairs(
     )
 
 
+def ivf_assign(
+    emb: DataFrame, centroid_ids: list[int], id_col: str = "vec_id"
+) -> DataFrame:
+    """IVF cell assignment: nearest centroid by cosine (deterministic
+    centroid set = the vectors with the given ids; in production the
+    centroids come from a k-means fit and are broadcast the same way).
+    Returns (vec_id, cell, score). The probe side of IVF is
+    bucketed_topk with `cell` as the bucket."""
+    cents = emb.filter(F.col(id_col).isin(centroid_ids)).select(
+        F.col(id_col).alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    scored = emb.join(F.broadcast(cents)).withColumn(
+        "score_raw",
+        _dot(F.col("c_emb"), F.col("embedding"))
+        / (_norm(F.col("c_emb")) * _norm(F.col("embedding"))),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score_raw"), F.asc("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "cell", F.round("score_raw", 6).alias("score"))
+    )
+
+
 def bucketed_topk(
     emb: DataFrame, dim: int, k: int = 5, nbits: int = 8
 ) -> DataFrame:

@@ -878,6 +878,32 @@ SELECT l_suppkey AS suppkey, COUNT(*) AS n_items FROM lineitem GROUP BY 1
 # 7. multimodal plumbing (binary payload metadata)
 
 
+_IVF_CENTROIDS = [0, 1, 2, 3]
+
+
+def q_sim_ivf_assign(spark, sf_dir):
+    """IVF scale path, assignment step: nearest deterministic centroid by
+    cosine; the probe is the bucket-confined top-k (similarity.bucketed_topk)."""
+    return similarity.ivf_assign(t(spark, sf_dir, "embeddings"), _IVF_CENTROIDS)
+
+
+SQL_SIM_IVF_ASSIGN = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS cell, emb AS c_emb FROM e
+  WHERE vec_id IN ({", ".join(map(str, _IVF_CENTROIDS))})
+), scored AS (
+  SELECT e.vec_id, c.cell,
+         {_dot_sql('c.c_emb', 'e.emb')} / ({_norm_sql('c.c_emb')} * {_norm_sql('e.emb')}) AS score_raw
+  FROM e CROSS JOIN c
+)
+SELECT vec_id, cell, round(score_raw, 6) AS score FROM scored
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score_raw DESC, cell) = 1
+"""
+
+
 def q_mm_payload_meta(spark, sf_dir):
     """Opaque-binary column plumbing: payload bytes + typed metadata
     (byte length, content hash). The decode/feature-extract UDF path is
@@ -941,6 +967,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # similarity
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
     "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
+    "sim_ivf_assign": (q_sim_ivf_assign, SQL_SIM_IVF_ASSIGN),
     # multimodal plumbing
     "mm_payload_meta": (q_mm_payload_meta, SQL_MM_PAYLOAD_META),
 }

@@ -42,6 +42,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # web crawls contain malformed UTF-8; ANSI decode() REPORTs (one
+        # bad page kills the job) — REPLACE with U+FFFD instead (the
+        # failOnError=false analog, reference TranslationManager.kt:347)
+        .config("spark.sql.legacy.codingErrorAction", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

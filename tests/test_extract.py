@@ -77,3 +77,25 @@ def test_mention_detection_exact(spark):
         (1, "Dorvik", "dorvik", 1),
         (2, "Acme Corp", "acme corp", 2),
     ]
+
+
+def test_malformed_bytes_do_not_kill_the_job(spark):
+    """Web crawls contain malformed UTF-8; extraction must degrade per
+    row (U+FFFD replacement -> no article match -> empty text), never
+    fail the job (reference failOnError analog)."""
+    from pyspark.sql import functions as F
+
+    from cpg_spark.functions.text import extract_text_col
+
+    df = spark.createDataFrame(
+        [
+            (b"\xff\xfe\x00garbage",),
+            (b"<article><p>ok</p></article>",),
+            (None,),
+        ],
+        "html binary",
+    )
+    rows = df.select(extract_text_col(F.col("html")).alias("t")).collect()
+    texts = [r["t"] for r in rows]
+    assert "ok" in texts
+    assert all(t is None or "garbage" not in t or t == "" for t in texts)
