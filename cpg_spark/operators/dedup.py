@@ -146,7 +146,7 @@ def jaccard_pairs(
     return (
         common.join(sa, "a")
         .join(sb, "b")
-        .select("a", "b", F.round(jac, 4).alias("jaccard"))
+        .select("a", "b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
     )
 

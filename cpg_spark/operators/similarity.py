@@ -66,7 +66,7 @@ def cosine_topk(
             "q_id",
             "rank",
             F.col(id_col).alias("neighbor_id"),
-            F.round("score_raw", 6).alias("score"),
+            F.col("score_raw").alias("score"),
         )
     )
 
@@ -127,7 +127,7 @@ def embedding_neardup_pairs(
         / (_norm(F.col("a_emb")) * _norm(F.col("b_emb"))),
     )
     return scored.filter(F.col("score_raw") >= threshold).select(
-        "a", "b", F.round("score_raw", 6).alias("score")
+        "a", "b", F.col("score_raw").alias("score")
     )
 
 
@@ -151,7 +151,7 @@ def ivf_assign(
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select(id_col, "cell", F.round("score_raw", 6).alias("score"))
+        .select(id_col, "cell", F.col("score_raw").alias("score"))
     )
 
 
@@ -181,6 +181,6 @@ def bucketed_topk(
             "q_id",
             "rank",
             F.col("vec_id").alias("neighbor_id"),
-            F.round("score_raw", 6).alias("score"),
+            F.col("score_raw").alias("score"),
         )
     )

@@ -47,11 +47,12 @@ def token_stats(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
-        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 4).alias("ttr"),
-        F.round(
+        # raw doubles on purpose: the per-row arithmetic is bit-identical
+        # to the oracle's, while round() half-cases differ between engines
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("ttr"),
+        (
             F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
-            / F.size(toks),
-            4,
+            / F.size(toks)
         ).alias("mean_tok_len"),
     ).filter(F.col("n_tokens") > 0)
 
@@ -75,7 +76,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.length("text").alias("n_chars_text"),
         stop_hits.alias("stop_hits"),
-        F.round(score, 4).alias("quality"),
+        score.alias("quality"),
     ).filter(n > 0)
 
 

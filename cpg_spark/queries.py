@@ -624,10 +624,10 @@ def q_ts_token_stats(spark, sf_dir):
 SQL_TS_TOKEN_STATS = f"""
 SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
        CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
-       round(len(list_distinct(toks)) / len(toks), 4) AS ttr,
-       round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       len(list_distinct(toks)) / len(toks) AS ttr,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
                list_transform(toks, t -> CAST(length(t) AS BIGINT))),
-             (a, b) -> a + b) / len(toks), 4) AS mean_tok_len
+             (a, b) -> a + b) / len(toks) AS mean_tok_len
 FROM (SELECT doc_id, {TOKEN_SQL} AS toks FROM documents)
 WHERE len(toks) > 0
 """
@@ -642,10 +642,9 @@ _EN_IN = ", ".join(f"'{w}'" for w in textstats.LANG_STOPWORDS["en"])
 SQL_TS_QUALITY = f"""
 SELECT doc_id, CAST(length(text) AS INT) AS n_chars_text,
        CAST(len(list_filter(toks, tk -> tk IN ({_EN_IN}))) AS INT) AS stop_hits,
-       round(
-         (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END) * 0.4
+       (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END) * 0.4
          + least(len(list_filter(toks, tk -> tk IN ({_EN_IN}))) / 5.0, 1.0) * 0.3
-         + least(len(list_distinct(toks)) / len(toks) * 2, 1.0) * 0.3, 4) AS quality
+         + least(len(list_distinct(toks)) / len(toks) * 2, 1.0) * 0.3 AS quality
 FROM (SELECT doc_id, text, {TOKEN_SQL} AS toks FROM documents)
 WHERE len(toks) > 0
 """
@@ -754,7 +753,7 @@ common AS (
   FROM idx l JOIN idx r
     ON l.s = r.s AND l.lang = r.lang AND l.doc_id < r.doc_id
   GROUP BY 1, 2)
-SELECT a, b, round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+SELECT a, b, n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
 FROM common
 JOIN sizes sa ON sa.doc_id = a
 JOIN sizes sb ON sb.doc_id = b
@@ -805,7 +804,7 @@ WITH e AS (
 )
 SELECT q_id,
        CAST(row_number() OVER (PARTITION BY q_id ORDER BY score_raw DESC, neighbor_id) AS INT) AS rank,
-       neighbor_id, round(score_raw, 6) AS score
+       neighbor_id, score_raw AS score
 FROM scored
 QUALIFY rank <= {_TOPK}
 """
@@ -852,7 +851,7 @@ WITH b AS (
          {_dot_sql('x.emb', 'y.emb')} / ({_norm_sql('x.emb')} * {_norm_sql('y.emb')}) AS score_raw
   FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
 )
-SELECT a, b, round(score_raw, 6) AS score FROM pairs WHERE score_raw >= 0.3
+SELECT a, b, score_raw AS score FROM pairs WHERE score_raw >= 0.3
 """
 
 
@@ -899,7 +898,7 @@ WITH e AS (
          {_dot_sql('c.c_emb', 'e.emb')} / ({_norm_sql('c.c_emb')} * {_norm_sql('e.emb')}) AS score_raw
   FROM e CROSS JOIN c
 )
-SELECT vec_id, cell, round(score_raw, 6) AS score FROM scored
+SELECT vec_id, cell, score_raw AS score FROM scored
 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score_raw DESC, cell) = 1
 """
 

@@ -119,7 +119,9 @@ def test_cosine_topk_matches_python(emb_df):
     )[:3]
     for rank, (vid, score) in enumerate(exp, start=1):
         assert by_rank[rank][0] == vid
-        assert abs(by_rank[rank][1] - round(score, 6)) < 1e-9
+        # python computes over float64 literals; Spark over float32-cast
+        # values — agree to float32 precision
+        assert abs(by_rank[rank][1] - score) < 1e-6
 
 
 def test_lsh_buckets_identical_vectors_collide(spark):
