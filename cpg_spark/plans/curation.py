@@ -1,0 +1,87 @@
+"""Training-data curation pipeline: the composed shape a 100 TB corpus
+actually runs — language/quality gates, exact dedup, MinHash-LSH
+candidate generation, Jaccard verification, connected-components
+canonical selection — built entirely from the operators in this repo.
+
+Stage order (all lazy until materialized):
+
+    docs -> lang/quality gate            (textstats; pure map)
+         -> exact dedup                  (normalized-text window min)
+         -> LSH candidates -> Jaccard≥t  (dedup; explode+agg, blocked join)
+         -> near-dup components          (canonicalize.connected_components
+                                          — the SAME CC as entity
+                                          canonicalization, reused)
+         -> keep min doc_id per component
+
+Scale notes: the near-dup edge set is tiny relative to the corpus (only
+verified pairs), so CC usually runs the driver union-find path; the
+star-loop kicks in automatically past the threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import canonicalize, dedup, textstats
+
+
+def curate(
+    docs: DataFrame,
+    target_langs: tuple[str, ...] | None = None,
+    min_quality: float = 0.0,
+    near_dup_jaccard: float = 0.8,
+) -> dict[str, DataFrame]:
+    """Returns {kept, dropped, dup_map}: kept survivors, dropped rows with
+    a reason column, and the doc_id -> canonical_id near/exact-dup map."""
+    q = textstats.quality_score(docs).select("doc_id", "quality")
+    lid = textstats.lang_id(docs).select("doc_id", "pred_lang")
+    annotated = docs.join(q, "doc_id", "left").join(lid, "doc_id", "left")
+
+    gate_fail = F.lit(False)
+    if target_langs is not None:
+        gate_fail = gate_fail | ~F.col("pred_lang").isin(list(target_langs))
+    gate_fail = gate_fail | (F.coalesce(F.col("quality"), F.lit(0.0)) < min_quality)
+    gated = annotated.withColumn("__gated", gate_fail)
+
+    survivors = gated.filter(~F.col("__gated")).drop("__gated")
+
+    # exact dedup on normalized text
+    exact = dedup.exact_dup_map(survivors).withColumnRenamed(
+        "canonical_id", "exact_canonical"
+    )
+
+    # near-dup: LSH candidates, verified by Jaccard, closed under CC
+    sig = dedup.minhash_signatures(survivors)
+    cand = dedup.lsh_candidate_pairs(sig)
+    jac = dedup.jaccard_pairs(survivors, min_jaccard=near_dup_jaccard)
+    verified = cand.join(jac, ["a", "b"], "inner").select("a", "b")
+    exact_edges = exact.filter(F.col("is_dup")).select(
+        F.col("doc_id").alias("a"), F.col("exact_canonical").alias("b")
+    )
+    edges = verified.unionByName(exact_edges)
+    cc = canonicalize.connected_components(edges, src="a", dst="b")
+
+    dup_map = (
+        survivors.select("doc_id")
+        .join(cc.withColumnRenamed("member_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", "doc_id").alias("canonical_id"),
+        )
+    )
+
+    kept = (
+        survivors.join(dup_map, "doc_id")
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+        .drop("canonical_id")
+    )
+
+    dropped_gate = gated.filter(F.col("__gated")).select(
+        "doc_id", F.lit("gate").alias("drop_reason")
+    )
+    dropped_dup = dup_map.filter(F.col("doc_id") != F.col("canonical_id")).select(
+        "doc_id", F.lit("duplicate").alias("drop_reason")
+    )
+    dropped = dropped_gate.unionByName(dropped_dup)
+    return {"kept": kept, "dropped": dropped, "dup_map": dup_map}
