@@ -122,13 +122,31 @@ def lsh_candidate_pairs(
 
 
 def jaccard_pairs(
-    docs: DataFrame, n: int = 3, min_jaccard: float = 0.0, same_lang: bool = True
+    docs: DataFrame,
+    n: int = 3,
+    min_jaccard: float = 0.0,
+    same_lang: bool = True,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """n-gram Jaccard similarity via inverted-index join on shingle hash,
     blocked by lang: |A∩B| from the join, |A|,|B| from per-doc counts.
     Returns (a, b, jaccard) for pairs sharing ≥1 shingle and clearing the
-    threshold."""
+    threshold.
+
+    max_doc_freq drops shingles appearing in more than that many docs
+    BEFORE the join (the stopword-shingle guard: one boilerplate shingle
+    shared by k docs alone produces k^2/2 join rows at web scale). The
+    default None keeps exact semantics (oracle parity); with a cap the
+    jaccard becomes an under-estimate over the rare-shingle subspace —
+    doc sizes are still counted post-filter so the ratio stays in [0,1]."""
     idx = shingle_index(docs, n)
+    if max_doc_freq is not None:
+        freq = idx.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+        idx = (
+            idx.join(freq, "sh")
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
     sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     left = idx.alias("l")
     right = idx.alias("r")

@@ -168,3 +168,17 @@ def test_sample_frames_roundtrip(spark, docs_df):
         joined = b"".join(bytes(c["frame"]) for c in chunks)
         assert text.encode().startswith(joined[: len(joined)])
         assert len(joined) >= (len(text.encode()) // 16) * 16
+
+
+def test_jaccard_hot_shingle_cap(spark):
+    """A boilerplate shingle shared by every doc must not generate O(n^2)
+    candidates when capped; genuinely similar pairs survive."""
+    boiler = "terms of service apply to all"
+    docs = [(i, f"{boiler} unique tail {i} alpha beta gamma", "en") for i in range(20)]
+    docs += [(100, "zeta eta theta iota kappa lam mu nu", "en"),
+             (101, "zeta eta theta iota kappa lam mu nu", "en")]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    capped = dedup.jaccard_pairs(df, min_jaccard=0.5, max_doc_freq=5)
+    pairs = {(r["a"], r["b"]) for r in capped.collect()}
+    assert (100, 101) in pairs                      # real dup survives
+    assert all(a >= 100 for a, _ in pairs), pairs   # boilerplate pairs gone
