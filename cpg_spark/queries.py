@@ -98,14 +98,18 @@ def q_pass_stats_agg(spark, sf_dir):
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
-            # exact decimal product at scale 4; no final rounding (the two
-            # engines disagree on decimal half-rounding, exactness doesn't)
+            # exact decimal accumulation, DOUBLE on the wire: DuckDB's
+            # pandas fetch turns DECIMAL into float64 while Spark keeps
+            # Decimal objects, so a decimal output column hash-mismatches
+            # on any trailing-zero value ('11640.70' vs '11640.7'). Both
+            # engines cast the identical exact decimal to the identical
+            # IEEE double.
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum(
                 dec("l_extendedprice")
                 * (F.lit(1).cast("decimal(3,2)") - dec("l_discount"))
-            ).alias("sum_disc_price"),
+            ).cast("double").alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -113,10 +117,10 @@ def q_pass_stats_agg(spark, sf_dir):
 
 SQL_PASS_STATS_AGG = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -139,14 +143,15 @@ def q_link_bestpick(spark, sf_dir):
         .select(
             F.col("l_orderkey").alias("order_key"),
             F.col("l_suppkey").alias("best_supp"),
-            dec("l_extendedprice").alias("best_price"),
+            # decimal-exact pick, double on the wire (see q_pass_stats_agg)
+            dec("l_extendedprice").cast("double").alias("best_price"),
         )
     )
 
 
 SQL_LINK_BESTPICK = """
 SELECT l_orderkey AS order_key, l_suppkey AS best_supp,
-       CAST(l_extendedprice AS DECIMAL(18,2)) AS best_price
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS best_price
 FROM lineitem
 QUALIFY row_number() OVER (
   PARTITION BY l_orderkey
@@ -169,14 +174,14 @@ def q_region_revenue(spark, sf_dir):
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(dec("o_totalprice")).alias("revenue"),
+            F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
         )
     )
 
 
 SQL_REGION_REVENUE = """
 SELECT r_name, COUNT(*) AS n_orders,
-       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -300,7 +305,7 @@ def q_topk_customers(spark, sf_dir):
     exact decimal revenue, deterministic tie-break."""
     orders = t(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
-        F.sum(dec("o_totalprice")).alias("revenue")
+        F.sum(dec("o_totalprice")).cast("double").alias("revenue")
     )
     w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
     return (
@@ -313,7 +318,8 @@ def q_topk_customers(spark, sf_dir):
 SQL_TOPK_CUSTOMERS = """
 SELECT CAST(row_number() OVER (ORDER BY revenue DESC, o_custkey) AS INT) AS rank,
        o_custkey AS custkey, revenue
-FROM (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+FROM (SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       FROM orders GROUP BY o_custkey)
 QUALIFY rank <= 10
 """
@@ -363,13 +369,14 @@ def q_brand_price_rank(spark, sf_dir):
     return part.select(
         "p_partkey",
         "p_brand",
-        dec("p_retailprice").alias("price"),
+        dec("p_retailprice").cast("double").alias("price"),
         F.row_number().over(w).alias("brand_rank"),
     ).filter(F.col("brand_rank") <= 3)
 
 
 SQL_BRAND_PRICE_RANK = """
-SELECT p_partkey, p_brand, CAST(p_retailprice AS DECIMAL(18,2)) AS price,
+SELECT p_partkey, p_brand,
+       CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
        CAST(row_number() OVER (PARTITION BY p_brand
          ORDER BY p_retailprice DESC, p_partkey) AS INT) AS brand_rank
 FROM part QUALIFY brand_rank <= 3
@@ -464,13 +471,14 @@ def q_events_hourly(spark, sf_dir):
         F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(dec("value")).alias("sum_value"),
+        F.sum(dec("value")).cast("double").alias("sum_value"),
     )
 
 
 SQL_EVENTS_HOURLY = """
 SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-       COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -497,7 +505,10 @@ def q_events_sessions(spark, sf_dir):
 
 
 SQL_EVENTS_SESSIONS = """
-SELECT user_id, session_idx, COUNT(*) AS n_events FROM (
+-- CAST AS BIGINT: DuckDB SUM(INT) yields HUGEINT, which its pandas fetch
+-- renders as float64 ('1.0') vs Spark's bigint ('1')
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events FROM (
   SELECT user_id, event_id,
          SUM(CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
