@@ -32,7 +32,10 @@ HEADLINE = [
     "ts_fingerprint",
     "dd_minhash",
     "dd_lsh_pairs",
-    "dd_jaccard",
+    # the headline Jaccard shapes are the capped/confined ones users
+    # should copy at scale; the uncapped exact dd_jaccard stays oracle-only
+    "dd_jaccard_capped",
+    "dd_jaccard_verify",
     "dd_simhash",
     "sim_cosine_topk",
     "sim_lsh_buckets",

@@ -99,26 +99,67 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, rows_per_band: int = LSH_ROWS_PER_BAND
-) -> DataFrame:
-    """Band the signature, bucket-join: docs agreeing on ALL rows of some
-    band become a candidate pair. groupBy(bucket) + array pair kernel —
-    never a self-join. Returns distinct (a, b), a < b."""
+def _banded_buckets(signatures: DataFrame, rows_per_band: int) -> tuple[DataFrame, list[str]]:
+    """Pivot the (doc_id, k, minhash) signature into one row per
+    (doc_id, band) with rows_per_band hash columns — the band signature."""
     banded = signatures.withColumn(
         "band", F.floor(F.col("k") / rows_per_band).cast("int")
     )
-    buckets = banded.groupBy("doc_id", "band").agg(
-        F.min(F.when(F.col("k") % rows_per_band == 0, F.col("minhash"))).alias("h0"),
-        F.min(F.when(F.col("k") % rows_per_band == 1, F.col("minhash"))).alias("h1"),
-    )
-    grouped = buckets.groupBy("band", "h0", "h1").agg(
+    hcols = [f"h{i}" for i in range(rows_per_band)]
+    aggs = [
+        F.min(F.when(F.col("k") % rows_per_band == i, F.col("minhash"))).alias(h)
+        for i, h in enumerate(hcols)
+    ]
+    return banded.groupBy("doc_id", "band").agg(*aggs), hcols
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    rows_per_band: int = LSH_ROWS_PER_BAND,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Band the signature, bucket-join: docs agreeing on ALL rows of some
+    band become a candidate pair. groupBy(bucket) + array pair kernel —
+    never a self-join. Returns distinct (a, b), a < b.
+
+    max_bucket_size is the web-scale hot-bucket guard: a boilerplate-heavy
+    crawl puts k near-identical pages in one band bucket, and both the
+    single-reducer collect_set and the O(k^2) pair explosion blow up on
+    one task. With a cap, buckets over the limit are EXCLUDED from pair
+    generation (mega-buckets are boilerplate, not near-dup signal) — use
+    lsh_dropped_buckets() on the same inputs to count what was dropped;
+    never cap silently. The size pre-count is a map-side-combinable agg,
+    so the cap itself never concentrates a hot key on one reducer."""
+    buckets, hcols = _banded_buckets(signatures, rows_per_band)
+    keys = ["band", *hcols]
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+        eligible = sizes.filter(
+            (F.col("__n") > 1) & (F.col("__n") <= max_bucket_size)
+        ).drop("__n")
+        buckets = buckets.join(eligible, keys, "left_semi")
+    grouped = buckets.groupBy(*keys).agg(
         F.sort_array(F.collect_set("doc_id")).alias("members")
     )
     pairs = grouped.filter(F.size("members") > 1).select(
         F.explode(sorted_pairs(F.col("members"))).alias("p")
     )
     return pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b")).distinct()
+
+
+def lsh_dropped_buckets(
+    signatures: DataFrame,
+    rows_per_band: int = LSH_ROWS_PER_BAND,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """The audit twin of lsh_candidate_pairs' cap: (band, h*, n_members)
+    for every bucket the cap would exclude. Empty when max_bucket_size is
+    None (uncapped runs drop nothing)."""
+    buckets, hcols = _banded_buckets(signatures, rows_per_band)
+    sizes = buckets.groupBy("band", *hcols).agg(F.count(F.lit(1)).alias("n_members"))
+    if max_bucket_size is None:
+        return sizes.filter(F.lit(False))
+    return sizes.filter(F.col("n_members") > max_bucket_size)
 
 
 def jaccard_pairs(
@@ -141,9 +182,13 @@ def jaccard_pairs(
     doc sizes are still counted post-filter so the ratio stays in [0,1]."""
     idx = shingle_index(docs, n)
     if max_doc_freq is not None:
-        freq = idx.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+        # document frequency as a window count: one shuffle on sh instead
+        # of the groupBy+join's two, and the exchange is reused by the
+        # self-join below (both sides already hash-partitioned on sh)
         idx = (
-            idx.join(freq, "sh")
+            idx.withColumn(
+                "__df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+            )
             .filter(F.col("__df") <= max_doc_freq)
             .drop("__df")
         )
@@ -166,6 +211,62 @@ def jaccard_pairs(
         .join(sb, "b")
         .select("a", "b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def jaccard_for_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    n: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY for the given candidate pairs
+    (a, b) — the verification step after LSH blocking. Semantically equal
+    to jaccard_pairs(same_lang=False) restricted to `pairs` (the given
+    pairs, not lang, define the blocking), but the cost is O(|pairs|)
+    array intersections instead of the O(Σ df²) inverted-index pair
+    enumeration over the whole corpus, which is what makes MinHash-LSH
+    blocking actually pay off at web scale.
+
+    Shape: the per-doc distinct-shingle array is a pure map
+    (array_distinct over the shingle kernel — no explode, no shuffle),
+    semi-joined down to docs appearing in any candidate pair, then two
+    equi-joins pairs→sets and an in-array intersection kernel. Only with
+    max_doc_freq does a corpus-wide shuffle appear (document frequency
+    needs the inverted index). Returns (a, b, jaccard); pairs whose docs
+    have no shingles drop out."""
+    cand_ids = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    if max_doc_freq is None:
+        sets = docs.select(
+            "doc_id",
+            F.array_distinct(shingle_hash_array(F.col("text"), n)).alias("shs"),
+        ).filter(F.size("shs") > 0)
+        sets = sets.join(cand_ids, "doc_id", "left_semi")
+    else:
+        idx = shingle_index(docs, n).drop("lang")
+        idx = (
+            idx.withColumn(
+                "__df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+            )
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
+        sets = (
+            idx.join(cand_ids, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_set("sh").alias("shs"))
+        )
+    a_sets = sets.select(F.col("doc_id").alias("a"), F.col("shs").alias("a_shs"))
+    b_sets = sets.select(F.col("doc_id").alias("b"), F.col("shs").alias("b_shs"))
+    joined = pairs.join(a_sets, "a").join(b_sets, "b")
+    common = F.size(F.array_intersect(F.col("a_shs"), F.col("b_shs")))
+    union = F.size("a_shs") + F.size("b_shs") - common
+    return joined.select(
+        "a", "b", (common.cast("double") / union).alias("jaccard")
     )
 
 

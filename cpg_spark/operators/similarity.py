@@ -106,13 +106,43 @@ def lsh_buckets(emb: DataFrame, dim: int, nbits: int = LSH_NBITS) -> DataFrame:
     return emb.select("vec_id", bucket.alias("bucket"))
 
 
+def capped_buckets(
+    buckets: DataFrame, max_bucket_size: int | None, key: str = "bucket"
+) -> DataFrame:
+    """Hot-bucket guard for in-bucket self-joins: drop buckets over the
+    cap BEFORE the join (an over-full LSH bucket means near-constant
+    vectors — boilerplate, not signal — and its k² in-bucket pairs land
+    on one task). The size count is map-side combinable. Use
+    dropped_buckets() on the same inputs to audit what was excluded."""
+    if max_bucket_size is None:
+        return buckets
+    sizes = buckets.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+    ok = sizes.filter(F.col("__n") <= max_bucket_size).drop("__n")
+    return buckets.join(ok, key, "left_semi")
+
+
+def dropped_buckets(
+    buckets: DataFrame, max_bucket_size: int | None, key: str = "bucket"
+) -> DataFrame:
+    """Audit twin of capped_buckets: (bucket, n_members) over the cap."""
+    sizes = buckets.groupBy(key).agg(F.count(F.lit(1)).alias("n_members"))
+    if max_bucket_size is None:
+        return sizes.filter(F.lit(False))
+    return sizes.filter(F.col("n_members") > max_bucket_size)
+
+
 def embedding_neardup_pairs(
-    emb: DataFrame, dim: int, threshold: float = 0.95, nbits: int = 8
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    nbits: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket first (the
     candidate blocker), exact cosine inside each bucket, keep pairs over
-    the threshold. Returns (a, b, score), a < b."""
-    b = lsh_buckets(emb, dim, nbits)
+    the threshold. Returns (a, b, score), a < b. max_bucket_size excludes
+    over-full buckets from pairing (see capped_buckets)."""
+    b = capped_buckets(lsh_buckets(emb, dim, nbits), max_bucket_size)
     withb = emb.join(b, "vec_id")
     left = withb.select(
         F.col("vec_id").alias("a"), F.col("embedding").alias("a_emb"), "bucket"
@@ -156,12 +186,17 @@ def ivf_assign(
 
 
 def bucketed_topk(
-    emb: DataFrame, dim: int, k: int = 5, nbits: int = 8
+    emb: DataFrame,
+    dim: int,
+    k: int = 5,
+    nbits: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Scale-path ANN: bucket every vector, then exact top-k WITHIN each
     bucket (self-join confined to buckets — the IVF probe). Returns
-    (vec_id, rank, neighbor_id, score)."""
-    b = lsh_buckets(emb, dim, nbits)
+    (vec_id, rank, neighbor_id, score). max_bucket_size excludes over-full
+    buckets from the probe (see capped_buckets)."""
+    b = capped_buckets(lsh_buckets(emb, dim, nbits), max_bucket_size)
     withb = emb.join(b, "vec_id")
     left = withb.select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "bucket"

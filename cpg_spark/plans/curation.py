@@ -31,9 +31,18 @@ def curate(
     target_langs: tuple[str, ...] | None = None,
     min_quality: float = 0.0,
     near_dup_jaccard: float = 0.8,
+    max_doc_freq: int | None = None,
+    lsh_max_bucket: int | None = None,
 ) -> dict[str, DataFrame]:
-    """Returns {kept, dropped, dup_map}: kept survivors, dropped rows with
-    a reason column, and the doc_id -> canonical_id near/exact-dup map."""
+    """Returns {kept, dropped, dup_map, lsh_dropped_buckets}: kept
+    survivors, dropped rows with a reason column, the doc_id ->
+    canonical_id near/exact-dup map, and the audit table of LSH buckets
+    excluded by lsh_max_bucket (empty when uncapped).
+
+    max_doc_freq drops shingles shared by more than that many docs before
+    Jaccard verification (boilerplate guard); lsh_max_bucket excludes LSH
+    buckets larger than that from candidate generation. Both default to
+    None = exact."""
     q = textstats.quality_score(docs).select("doc_id", "quality")
     lid = textstats.lang_id(docs).select("doc_id", "pred_lang")
     annotated = docs.join(q, "doc_id", "left").join(lid, "doc_id", "left")
@@ -51,11 +60,17 @@ def curate(
         "canonical_id", "exact_canonical"
     )
 
-    # near-dup: LSH candidates, verified by Jaccard, closed under CC
+    # near-dup: LSH candidates, verified by candidate-confined Jaccard
+    # (NOT corpus-wide jaccard_pairs — the blocking must confine the
+    # expensive intersection work to the candidates, or LSH saves
+    # nothing), closed under CC
     sig = dedup.minhash_signatures(survivors)
-    cand = dedup.lsh_candidate_pairs(sig)
-    jac = dedup.jaccard_pairs(survivors, min_jaccard=near_dup_jaccard)
-    verified = cand.join(jac, ["a", "b"], "inner").select("a", "b")
+    # fan-out point: the candidate set feeds both sides of the verify
+    # join — cache so MinHash+banding runs once (EdgeCachePass analog)
+    cand = dedup.lsh_candidate_pairs(sig, max_bucket_size=lsh_max_bucket).cache()
+    jac = dedup.jaccard_for_pairs(survivors, cand, max_doc_freq=max_doc_freq)
+    verified = jac.filter(F.col("jaccard") >= near_dup_jaccard).select("a", "b")
+    lsh_dropped = dedup.lsh_dropped_buckets(sig, max_bucket_size=lsh_max_bucket)
     exact_edges = exact.filter(F.col("is_dup")).select(
         F.col("doc_id").alias("a"), F.col("exact_canonical").alias("b")
     )
@@ -84,4 +99,9 @@ def curate(
         "doc_id", F.lit("duplicate").alias("drop_reason")
     )
     dropped = dropped_gate.unionByName(dropped_dup)
-    return {"kept": kept, "dropped": dropped, "dup_map": dup_map}
+    return {
+        "kept": kept,
+        "dropped": dropped,
+        "dup_map": dup_map,
+        "lsh_dropped_buckets": lsh_dropped,
+    }

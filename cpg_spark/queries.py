@@ -32,6 +32,22 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def t_par(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan + round-robin repartition to defaultParallelism, for queries
+    whose first stage is a compute-heavy map (shingle/tokenize/hyperplane
+    kernels). The testdata parquet is a single row group, so the kernel
+    would otherwise run in ONE task; on a real cluster the scan has
+    thousands of splits and this repartition is a cheap no-op-shaped
+    shuffle of raw rows. Results are partition-independent.
+
+    Width 8, not defaultParallelism: the allocation-heavy interpreted
+    HOF kernels hit this VM's memory-bandwidth ceiling near 8 workers
+    (measured min-of-warm-runs: dd_minhash 4.2s@1, 1.5s@8, 1.9s@32) —
+    past it, extra tasks only add GC contention."""
+    width = min(8, spark.sparkContext.defaultParallelism)
+    return t(spark, sf_dir, name).repartition(width)
+
+
 def dec(c, scale: int = 2):
     col = F.col(c) if isinstance(c, str) else c
     return col.cast(f"decimal(18,{scale})")
@@ -534,7 +550,7 @@ def q_kg_doc_mentions(spark, sf_dir):
     """Mention detection + entity linking: tokenize, posexplode, broadcast
     join against the alias dictionary (the VariableUsageResolver shape,
     reference VariableUsageResolver.kt:63-92)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = t_par(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.posexplode(textstats.doc_tokens(F.col("text"))).alias("tok_idx", "alias"),
@@ -563,7 +579,7 @@ def q_kg_doc_chunks(spark, sf_dir):
     """Sentence-segmentation analog for unpunctuated token streams:
     10-token chunks with index (posexplode; the INDEX edge property,
     reference Properties.java:43-50)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = t_par(spark, sf_dir, "documents")
     toks = textstats.doc_tokens(F.col("text"))
     return (
         docs.filter(F.size(toks) > 0)
@@ -629,7 +645,7 @@ GROUP BY 1, 2, 3
 
 
 def q_ts_token_stats(spark, sf_dir):
-    return textstats.token_stats(t(spark, sf_dir, "documents"))
+    return textstats.token_stats(t_par(spark, sf_dir, "documents"))
 
 
 SQL_TS_TOKEN_STATS = f"""
@@ -645,7 +661,7 @@ WHERE len(toks) > 0
 
 
 def q_ts_quality(spark, sf_dir):
-    return textstats.quality_score(t(spark, sf_dir, "documents"))
+    return textstats.quality_score(t_par(spark, sf_dir, "documents"))
 
 
 _EN_IN = ", ".join(f"'{w}'" for w in textstats.LANG_STOPWORDS["en"])
@@ -662,7 +678,7 @@ WHERE len(toks) > 0
 
 
 def q_ts_lang_id(spark, sf_dir):
-    return textstats.lang_id(t(spark, sf_dir, "documents"))
+    return textstats.lang_id(t_par(spark, sf_dir, "documents"))
 
 
 def _langid_sql() -> str:
@@ -690,7 +706,7 @@ SQL_TS_LANG_ID = _langid_sql()
 
 
 def q_ts_fingerprint(spark, sf_dir):
-    return textstats.fingerprint(t(spark, sf_dir, "documents"))
+    return textstats.fingerprint(t_par(spark, sf_dir, "documents"))
 
 
 _NORM_TEXT_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
@@ -708,7 +724,7 @@ FROM documents
 
 
 def q_dd_exact(spark, sf_dir):
-    return dedup.exact_dup_map(t(spark, sf_dir, "documents"))
+    return dedup.exact_dup_map(t_par(spark, sf_dir, "documents"))
 
 
 SQL_DD_EXACT = """
@@ -720,7 +736,7 @@ FROM documents
 
 
 def q_dd_minhash(spark, sf_dir):
-    return dedup.minhash_signatures(t(spark, sf_dir, "documents"))
+    return dedup.minhash_signatures(t_par(spark, sf_dir, "documents"))
 
 
 SQL_DD_MINHASH = f"""{_SHINGLE_CTE}
@@ -731,7 +747,7 @@ FROM sh, (SELECT unnest(range(0, {dedup.MINHASH_K})) AS k)
 
 
 def q_dd_lsh_pairs(spark, sf_dir):
-    sig = dedup.minhash_signatures(t(spark, sf_dir, "documents"))
+    sig = dedup.minhash_signatures(t_par(spark, sf_dir, "documents"))
     return dedup.lsh_candidate_pairs(sig)
 
 
@@ -753,7 +769,7 @@ FROM banded x JOIN banded y
 
 
 def q_dd_jaccard(spark, sf_dir):
-    return dedup.jaccard_pairs(t(spark, sf_dir, "documents"), min_jaccard=0.0)
+    return dedup.jaccard_pairs(t_par(spark, sf_dir, "documents"), min_jaccard=0.0)
 
 
 SQL_DD_JACCARD = f"""{_SHINGLE_CTE},
@@ -771,8 +787,83 @@ JOIN sizes sb ON sb.doc_id = b
 """
 
 
+_JAC_CAP_DF = 100  # max_doc_freq for the capped headline variant
+_JAC_CAP_MIN = 0.5
+
+
+def q_dd_jaccard_capped(spark, sf_dir):
+    """The shape users should copy at web scale: thresholded Jaccard with
+    the hot-shingle document-frequency cap (shingles shared by more than
+    max_doc_freq docs are boilerplate and excluded BEFORE the
+    inverted-index join — the O(Σ df²) guard). q_dd_jaccard stays as the
+    uncapped exact oracle."""
+    return dedup.jaccard_pairs(
+        t_par(spark, sf_dir, "documents"),
+        min_jaccard=_JAC_CAP_MIN,
+        max_doc_freq=_JAC_CAP_DF,
+    )
+
+
+SQL_DD_JACCARD_CAPPED = f"""{_SHINGLE_CTE},
+idx AS (SELECT doc_id, lang, unnest(list_distinct(hs)) AS s FROM sh),
+freq AS (SELECT s, COUNT(*) AS df FROM idx GROUP BY s),
+fidx AS (SELECT doc_id, lang, i.s FROM idx i JOIN freq f ON i.s = f.s
+         WHERE f.df <= {_JAC_CAP_DF}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM fidx GROUP BY doc_id),
+common AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_common
+  FROM fidx l JOIN fidx r
+    ON l.s = r.s AND l.lang = r.lang AND l.doc_id < r.doc_id
+  GROUP BY 1, 2)
+SELECT a, b, n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {_JAC_CAP_MIN}
+"""
+
+
+def q_dd_jaccard_verify(spark, sf_dir):
+    """The composed near-dup verification step: MinHash-LSH candidate
+    pairs, then exact Jaccard computed ONLY for those pairs (array
+    intersection per candidate — O(|pairs|), never the corpus-wide
+    inverted-index join). This is the curation pipeline's hot path."""
+    docs = t_par(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs)
+    # fan-out point (candidates feed the id semi-join AND the pair join):
+    # cache so the MinHash+banding DAG runs once (EdgeCachePass analog)
+    cand = dedup.lsh_candidate_pairs(sig).cache()
+    return dedup.jaccard_for_pairs(docs, cand)
+
+
+SQL_DD_JACCARD_VERIFY = f"""{_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id, CAST(k AS INT) AS k,
+         list_min(list_transform(hs, h -> ((2*k+1)*h + 1000003*k) % {CHAR_POLY_P})) AS minhash
+  FROM sh, (SELECT unnest(range(0, {dedup.MINHASH_K})) AS k)
+), banded AS (
+  SELECT doc_id, k // 2 AS band,
+         MIN(CASE WHEN k % 2 = 0 THEN minhash END) AS h0,
+         MIN(CASE WHEN k % 2 = 1 THEN minhash END) AS h1
+  FROM sig GROUP BY doc_id, k // 2
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.h0 = y.h0 AND x.h1 = y.h1 AND x.doc_id < y.doc_id
+), sets AS (
+  SELECT doc_id, list_distinct(hs) AS shs FROM sh
+)
+SELECT a, b,
+       CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+         / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) AS jaccard
+FROM cand
+JOIN sets sa ON sa.doc_id = a
+JOIN sets sb ON sb.doc_id = b
+"""
+
+
 def q_dd_simhash(spark, sf_dir):
-    return dedup.simhash(t(spark, sf_dir, "documents"))
+    return dedup.simhash(t_par(spark, sf_dir, "documents"))
 
 
 SQL_DD_SIMHASH = f"""{_SHINGLE_CTE}
@@ -797,7 +888,7 @@ _EMB_DIM = 64
 
 def q_sim_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(
-        t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=_TOPK
+        t_par(spark, sf_dir, "embeddings"), _QUERY_IDS, k=_TOPK
     )
 
 
@@ -822,7 +913,7 @@ QUALIFY rank <= {_TOPK}
 
 
 def q_sim_lsh_buckets(spark, sf_dir):
-    return similarity.lsh_buckets(t(spark, sf_dir, "embeddings"), dim=_EMB_DIM)
+    return similarity.lsh_buckets(t_par(spark, sf_dir, "embeddings"), dim=_EMB_DIM)
 
 
 def _lsh_bucket_expr(nbits: int) -> str:
@@ -848,7 +939,7 @@ def q_dd_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup: LSH-bucket blocking + exact in-bucket
     cosine over threshold (the scale path for vector dedup)."""
     return similarity.embedding_neardup_pairs(
-        t(spark, sf_dir, "embeddings"), dim=_EMB_DIM, threshold=0.3, nbits=8
+        t_par(spark, sf_dir, "embeddings"), dim=_EMB_DIM, threshold=0.3, nbits=8
     )
 
 
@@ -894,7 +985,7 @@ _IVF_CENTROIDS = [0, 1, 2, 3]
 def q_sim_ivf_assign(spark, sf_dir):
     """IVF scale path, assignment step: nearest deterministic centroid by
     cosine; the probe is the bucket-confined top-k (similarity.bucketed_topk)."""
-    return similarity.ivf_assign(t(spark, sf_dir, "embeddings"), _IVF_CENTROIDS)
+    return similarity.ivf_assign(t_par(spark, sf_dir, "embeddings"), _IVF_CENTROIDS)
 
 
 SQL_SIM_IVF_ASSIGN = f"""
@@ -971,6 +1062,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dd_minhash": (q_dd_minhash, SQL_DD_MINHASH),
     "dd_lsh_pairs": (q_dd_lsh_pairs, SQL_DD_LSH_PAIRS),
     "dd_jaccard": (q_dd_jaccard, SQL_DD_JACCARD),
+    "dd_jaccard_capped": (q_dd_jaccard_capped, SQL_DD_JACCARD_CAPPED),
+    "dd_jaccard_verify": (q_dd_jaccard_verify, SQL_DD_JACCARD_VERIFY),
     "dd_simhash": (q_dd_simhash, SQL_DD_SIMHASH),
     "dd_embedding_neardup": (q_dd_embedding_neardup, SQL_DD_EMBEDDING_NEARDUP),
     "salted_count": (q_salted_brand_count, SQL_SALTED_BRAND_COUNT),

@@ -182,3 +182,70 @@ def test_jaccard_hot_shingle_cap(spark):
     pairs = {(r["a"], r["b"]) for r in capped.collect()}
     assert (100, 101) in pairs                      # real dup survives
     assert all(a >= 100 for a, _ in pairs), pairs   # boilerplate pairs gone
+
+
+def test_jaccard_for_pairs_matches_full(spark, docs_df):
+    """Candidate-confined Jaccard must equal the corpus-wide inverted-index
+    Jaccard on the same pairs (lang blocking off — the pairs define it)."""
+    full = {(r["a"], r["b"]): r["jaccard"]
+            for r in dedup.jaccard_pairs(docs_df, same_lang=False).collect()}
+    pairs_df = spark.createDataFrame(
+        sorted(full), "a long, b long"
+    )
+    confined = {(r["a"], r["b"]): r["jaccard"]
+                for r in dedup.jaccard_for_pairs(docs_df, pairs_df).collect()}
+    assert confined == full
+
+
+def test_jaccard_for_pairs_no_shared_shingle(spark, docs_df):
+    """A candidate pair with zero shingle overlap gets jaccard 0.0, not a
+    dropped row (LSH can produce false-positive candidates)."""
+    pairs_df = spark.createDataFrame([(0, 3)], "a long, b long")
+    got = dedup.jaccard_for_pairs(docs_df, pairs_df).collect()
+    assert len(got) == 1 and got[0]["jaccard"] < 0.2
+
+
+def test_lsh_bucket_cap_drops_mega_bucket(spark):
+    """A planted mega-bucket (many identical docs) is excluded by the cap
+    and reported by the audit twin; a small genuine dup pair survives."""
+    docs = [(i, "terms of service boilerplate page apply here", "en")
+            for i in range(30)]
+    docs += [(100, "zeta eta theta iota kappa lam mu nu", "en"),
+             (101, "zeta eta theta iota kappa lam mu nu", "en")]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    sig = dedup.minhash_signatures(df)
+    capped = {(r["a"], r["b"])
+              for r in dedup.lsh_candidate_pairs(sig, max_bucket_size=5).collect()}
+    assert capped == {(100, 101)}
+    dropped = dedup.lsh_dropped_buckets(sig, max_bucket_size=5).collect()
+    assert dropped and all(r["n_members"] == 30 for r in dropped)
+    # uncapped default keeps exact semantics
+    full = {(r["a"], r["b"]) for r in dedup.lsh_candidate_pairs(sig).collect()}
+    assert (0, 1) in full and (100, 101) in full
+    assert dedup.lsh_dropped_buckets(sig).count() == 0
+
+
+def test_lsh_rows_per_band_generalized(spark, docs_df):
+    """rows_per_band=4 (2 bands of 4 hashes) still finds exact dups and
+    stays within the signature agreement semantics."""
+    sig = dedup.minhash_signatures(docs_df)
+    pairs = {(r["a"], r["b"])
+             for r in dedup.lsh_candidate_pairs(sig, rows_per_band=4).collect()}
+    assert (0, 1) in pairs          # identical signatures agree on every band
+    assert (0, 3) not in pairs
+
+
+def test_similarity_bucket_cap(spark):
+    """Over-full embedding LSH buckets are excluded from pairing; the
+    audit twin reports them."""
+    vecs = [(i, [0.5, 0.5, 0.5, 0.5]) for i in range(20)]
+    vecs += [(100, [1.0, 0.0, 0.0, -1.0]), (101, [1.0, 0.0, 0.0, -1.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = similarity.embedding_neardup_pairs(
+        df, dim=4, threshold=0.9, nbits=4, max_bucket_size=5
+    ).collect()
+    pairs = {(r["a"], r["b"]) for r in got}
+    assert pairs == {(100, 101)}
+    b = similarity.lsh_buckets(df, dim=4, nbits=4)
+    dropped = similarity.dropped_buckets(b, max_bucket_size=5).collect()
+    assert dropped and all(r["n_members"] == 20 for r in dropped)
