@@ -16,6 +16,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _ckpt(df: DataFrame, checkpoint_dir: str | None, eager: bool = True) -> DataFrame:
+    """Iteration-truncation checkpoint. localCheckpoint stores blocks on
+    executors — fine in local mode, but on a real cluster an executor
+    loss mid-loop kills the job (no lineage left to recompute from).
+    Passing checkpoint_dir switches every loop below to reliable
+    checkpoint() against that (HDFS/object-store) path — the cluster
+    setting."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=eager)
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isEmpty():  # set once per context
+        sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=eager)
+
+
 def _checksum(df: DataFrame) -> tuple[int, int]:
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
@@ -96,20 +111,22 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
     driver_threshold: int = 10_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(member_id, component_id) for every node appearing in `edges`;
     component_id = lexicographic min member id.
 
     Edge sets up to `driver_threshold` run as driver-side union-find (a
     collect beats log(n) shuffle rounds); larger graphs run the
-    alternating-star loop, each iteration localCheckpointed (lineage
-    truncation). Convergence = stable (count, checksum) of the edge set.
+    alternating-star loop, each iteration checkpointed (lineage
+    truncation — local by default, reliable when checkpoint_dir is given;
+    see _ckpt). Convergence = stable (count, checksum) of the edge set.
     """
-    e = (
+    e = _ckpt(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        checkpoint_dir,
     )
     n_edges = e.count()
     if 0 < n_edges <= driver_threshold:
@@ -121,13 +138,13 @@ def connected_components(
     width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     nparts = max(1, min(width, n_edges // 50_000 + 1))
     if nparts < width:
-        e = e.repartition(nparts, "u").localCheckpoint(eager=True)
+        e = _ckpt(e.repartition(nparts, "u"), checkpoint_dir)
 
-    all_nodes = (
+    all_nodes = _ckpt(
         e.select(F.col("u").alias("member_id"))
         .union(e.select(F.col("v").alias("member_id")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        checkpoint_dir,
     )
     if n_edges == 0:
         return all_nodes.select(
@@ -142,7 +159,7 @@ def connected_components(
         step = _small_star(_large_star(e))
         if nparts < width:
             step = step.repartition(nparts, "u")
-        e = step.localCheckpoint(eager=False)
+        e = _ckpt(step, checkpoint_dir, eager=False)
         cur = _checksum(e)
         if cur == prev:
             break
@@ -168,32 +185,246 @@ def bfs_reach(
     src: str = "src",
     dst: str = "dst",
     max_hops: int = 20,
+    honor_unreachable: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """All nodes reachable from `seeds` (column `node`) following edges
     forward, with minimal hop count — the reference's BFS path followers
     (Extensions.kt:210-435 followNextDFGEdgesUntilHit et al.) as
     iterative frontier joins with an anti-join visited set.
 
+    If the edge table carries an `unreachable` flag (emitted by
+    extract.flag_unreachable_edges, the UnreachableEOGPass analog) and
+    honor_unreachable is True, dead edges are skipped — the consumption
+    pattern of the reference's ControlFlowSensitiveDFGPass.kt:211-213,
+    which refuses to follow EOG edges marked unreachable.
+
     Each round: frontier ⋈ edges → candidates, minus visited (anti-join),
     checkpoint. Terminates when the frontier empties or max_hops."""
-    visited = seeds.select(F.col("node"), F.lit(0).alias("hops")).localCheckpoint(
-        eager=True
+    if honor_unreachable and "unreachable" in edges.columns:
+        edges = edges.filter(~F.coalesce(F.col("unreachable"), F.lit(False)))
+    visited = _ckpt(
+        seeds.select(F.col("node"), F.lit(0).alias("hops")), checkpoint_dir
     )
     frontier = visited
     for hop in range(1, max_hops + 1):
-        nxt = (
+        nxt = _ckpt(
             frontier.join(edges, frontier["node"] == edges[src])
             .select(F.col(dst).alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
-            .select("node", F.lit(hop).alias("hops"))
-            .localCheckpoint(eager=True)
+            .select("node", F.lit(hop).alias("hops")),
+            checkpoint_dir,
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = _ckpt(visited.unionByName(nxt), checkpoint_dir)
         frontier = nxt
     return visited
+
+
+def _tarjan_driver(e: DataFrame) -> DataFrame:
+    """Driver-side iterative Tarjan for dictionary-sized directed graphs —
+    the reference runs recursive Tarjan on the driver unconditionally
+    (helper/Components.kt:79-131); iterative here so deep chains don't
+    blow the Python recursion limit. component_id = min member id."""
+    rows = e.collect()
+    adj: dict = {}
+    nodes: set = set()
+    for r in rows:
+        adj.setdefault(r["u"], []).append(r["v"])
+        nodes.add(r["u"])
+        nodes.add(r["v"])
+    index: dict = {}
+    low: dict = {}
+    on_stack: set = set()
+    stack: list = []
+    comp: dict = {}
+    counter = 0
+    for start in sorted(nodes):
+        if start in index:
+            continue
+        work = [(start, iter(adj.get(start, ())))]
+        index[start] = low[start] = counter
+        counter += 1
+        stack.append(start)
+        on_stack.add(start)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter
+                    counter += 1
+                    stack.append(w)
+                    on_stack.add(w)
+                    work.append((w, iter(adj.get(w, ()))))
+                    advanced = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                root = min(members)
+                for m in members:
+                    comp[m] = root
+    spark = e.sparkSession
+    dt = e.schema["u"].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("member_id", dt), StructField("component_id", dt)]
+    )
+    return spark.createDataFrame(sorted(comp.items()), schema)
+
+
+def scc(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    driver_threshold: int = 10_000,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph:
+    (member_id, component_id) for every node in `edges`, component_id =
+    min member id of the SCC. The directed twin of connected_components —
+    the reference needs SCCs of the grammar graph in reverse topological
+    order (Components.kt:79-131); undirected CC over-merges there.
+
+    Scale path: the coloring algorithm (Orzan / Salihoglu-Widom
+    FW-BW-MIN): (1) propagate the minimum reaching node id forward to a
+    fixpoint — color(v) = min{u : u →* v or u = v}; (2) nodes whose color
+    equals themselves are roots, and the backward reachability of a root
+    INSIDE its color class is exactly SCC(root); (3) peel those off,
+    repeat on the remainder. Each outer round removes every current
+    root's SCC, so rounds ≤ longest chain of SCCs. All steps are joins +
+    map-side-combinable min-aggregations; per-iteration checkpoint as in
+    connected_components."""
+    e = _ckpt(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct(),
+        checkpoint_dir,
+    )
+    n_edges = e.count()
+    if 0 < n_edges <= driver_threshold:
+        return _tarjan_driver(e)
+
+    remaining = _ckpt(
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct(),
+        checkpoint_dir,
+    )
+    if n_edges == 0:
+        return remaining.select(
+            F.col("node").alias("member_id"),
+            F.col("node").alias("component_id"),
+        )
+
+    done: DataFrame | None = None
+    er = e
+    for _ in range(max_iter):
+        if remaining.isEmpty():
+            break
+        # (1) forward min-label propagation to fixpoint
+        color = _ckpt(
+            remaining.select("node", F.col("node").alias("color")), checkpoint_dir
+        )
+        prev = None
+        for _ in range(max_iter):
+            incoming = (
+                er.join(
+                    color.select(
+                        F.col("node").alias("u"), F.col("color").alias("cu")
+                    ),
+                    "u",
+                )
+                .groupBy(F.col("v").alias("node"))
+                .agg(F.min("cu").alias("mc"))
+            )
+            # lazy checkpoint: the checksum action materializes the
+            # iteration AND tests convergence — one round-trip per round
+            color = _ckpt(
+                color.join(incoming, "node", "left").select(
+                    "node",
+                    F.least(
+                        F.col("color"), F.coalesce("mc", "color")
+                    ).alias("color"),
+                ),
+                checkpoint_dir,
+                eager=False,
+            )
+            row = color.agg(
+                F.coalesce(F.bit_xor(F.xxhash64("node", "color")), F.lit(0))
+            ).collect()[0]
+            cur = int(row[0])
+            if cur == prev:
+                break
+            prev = cur
+        # (2) backward reach of each root inside its color class
+        ec = (
+            er.join(
+                color.select(F.col("node").alias("u"), F.col("color").alias("c_u")),
+                "u",
+            )
+            .join(
+                color.select(F.col("node").alias("v"), F.col("color").alias("c_v")),
+                "v",
+            )
+            .filter(F.col("c_u") == F.col("c_v"))
+            .select("u", "v", F.col("c_u").alias("c"))
+        )
+        ec = _ckpt(ec, checkpoint_dir)
+        found = _ckpt(
+            color.filter(F.col("node") == F.col("color")), checkpoint_dir
+        )
+        frontier = found
+        while True:
+            nxt = _ckpt(
+                frontier.join(
+                    ec,
+                    (frontier["node"] == ec["v"]) & (frontier["color"] == ec["c"]),
+                )
+                .select(F.col("u").alias("node"), F.col("c").alias("color"))
+                .distinct()
+                .join(found, ["node", "color"], "left_anti"),
+                checkpoint_dir,
+            )
+            if nxt.isEmpty():
+                break
+            found = _ckpt(found.unionByName(nxt), checkpoint_dir)
+            frontier = nxt
+        done_part = found.select(
+            F.col("node").alias("member_id"), F.col("color").alias("component_id")
+        )
+        done = done_part if done is None else done.unionByName(done_part)
+        done = _ckpt(done, checkpoint_dir)
+        # (3) peel found SCCs off
+        scc_nodes = found.select("node")
+        remaining = _ckpt(
+            remaining.join(scc_nodes, "node", "left_anti"), checkpoint_dir
+        )
+        er = _ckpt(
+            er.join(scc_nodes.select(F.col("node").alias("u")), "u", "left_anti")
+            .join(scc_nodes.select(F.col("node").alias("v")), "v", "left_anti"),
+            checkpoint_dir,
+        )
+    assert done is not None
+    return done
 
 
 def dict_duplicate_edges(alias_dict: DataFrame) -> DataFrame:

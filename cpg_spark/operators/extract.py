@@ -88,6 +88,36 @@ def sentence_order_edges_pandas(sent_df: DataFrame) -> DataFrame:
     )
 
 
+def flag_unreachable_edges(
+    edges: DataFrame,
+    cond_col: str = "cond_value",
+    branch_col: str = "branch",
+) -> DataFrame:
+    """UnreachableEOGPass analog (reference cpg-analysis/.../passes/
+    UnreachableEOGPass.kt:43-80): constant-fold each guard's condition
+    and mark the EOG edge whose branch label contradicts it as
+    unreachable. Data-level contract: edges carry a `branch` label
+    ('true'/'false', NULL for unconditional edges) and the guard's folded
+    condition value (`cond_value` boolean, NULL when the condition does
+    not fold to a constant). An edge is unreachable iff both are known
+    and disagree; unknown conditions and unconditional edges stay
+    reachable — exactly the reference's conservative rule.
+
+    Consumers skip flagged edges (bfs_reach honor_unreachable — the
+    ControlFlowSensitiveDFGPass.kt:211-213 pattern)."""
+    branch = F.col(branch_col)
+    cond = F.col(cond_col)
+    dead = (
+        branch.isNotNull()
+        & cond.isNotNull()
+        & (
+            (cond & (branch == F.lit("false")))
+            | (~cond & (branch == F.lit("true")))
+        )
+    )
+    return edges.withColumn("unreachable", F.coalesce(dead, F.lit(False)))
+
+
 def mentions(sent_df: DataFrame) -> DataFrame:
     """Capitalized-run mention detection (1-3 Title Case words).
 

@@ -434,6 +434,104 @@ SELECT node, CAST(MIN(hops) AS INT) AS hops FROM r GROUP BY node
 """
 
 
+def q_eog_reach_live(spark, sf_dir):
+    """UnreachableEOGPass end to end (reference UnreachableEOGPass.kt:
+    43-80 + the skip in ControlFlowSensitiveDFGPass.kt:211-213): build a
+    branched EOG over customer keys — each node k has a 'true' edge k→k+1
+    and a 'false' edge k→k+5, guarded by the constant-foldable condition
+    (k % 2 == 0) — flag contradicting edges unreachable, then BFS only
+    over live edges. Even nodes step +1, odd nodes step +5."""
+    from .operators import extract
+
+    cust = t(spark, sf_dir, "customer")
+    cond = (F.col("c_custkey") % 2 == 0).alias("cond_value")
+    step1 = cust.filter(F.col("c_custkey") % 50 != 49).select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_custkey") + 1).alias("dst"),
+        F.lit("true").alias("branch"),
+        cond,
+    )
+    step5 = cust.filter(F.col("c_custkey") % 50 <= 44).select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_custkey") + 5).alias("dst"),
+        F.lit("false").alias("branch"),
+        cond,
+    )
+    edges = extract.flag_unreachable_edges(step1.union(step5))
+    seeds = cust.filter(F.col("c_custkey") % 300 == 0).select(
+        F.col("c_custkey").alias("node")
+    )
+    return canonicalize.bfs_reach(edges, seeds, max_hops=25).select(
+        "node", F.col("hops").cast("int").alias("hops")
+    )
+
+
+SQL_EOG_REACH_LIVE = """
+WITH RECURSIVE e AS (
+  SELECT c_custkey AS src, c_custkey + 1 AS dst FROM customer
+  WHERE c_custkey % 50 != 49 AND c_custkey % 2 = 0
+  UNION ALL
+  SELECT c_custkey, c_custkey + 5 FROM customer
+  WHERE c_custkey % 50 <= 44 AND c_custkey % 2 = 1
+), r AS (
+  SELECT c_custkey AS node, 0 AS hops FROM customer WHERE c_custkey % 300 = 0
+  UNION
+  SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.node
+)
+SELECT node, CAST(MIN(hops) AS INT) AS hops FROM r GROUP BY node
+"""
+
+
+def q_canon_scc(spark, sf_dir):
+    """Directed SCC (reference helper/Components.kt:79-131 — Tarjan in
+    reverse topological order; undirected CC over-merges directed
+    grammar/type graphs). Planted graph per 50-key block s: a 3-cycle
+    s→s+1→s+2→s with a DAG tail s+2→s+3→s+4, a bridge s+4→s+10, and a
+    2-cycle s+10↔s+11. Ground truth: {s,s+1,s+2} → s, singletons s+3 and
+    s+4, {s+10,s+11} → s+10. The dictionary-sized gate graph takes the
+    driver-Tarjan path (the reference's own choice, Components.kt:97);
+    the distributed coloring path is exercised by
+    tests/test_canonicalize.py::test_scc_distributed_matches_tarjan."""
+    cust = t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    m = k % 50
+    fwd = cust.filter(m.isin(0, 1, 2, 3, 10)).select(
+        k.alias("src"), (k + 1).alias("dst")
+    )
+    close3 = cust.filter(m == 2).select(k.alias("src"), (k - 2).alias("dst"))
+    bridge = cust.filter(m == 4).select(k.alias("src"), (k + 6).alias("dst"))
+    close2 = cust.filter(m == 11).select(k.alias("src"), (k - 1).alias("dst"))
+    edges = fwd.union(close3).union(bridge).union(close2)
+    return canonicalize.scc(edges, driver_threshold=0)
+
+
+SQL_CANON_SCC = """
+WITH RECURSIVE e AS (
+  SELECT c_custkey AS src, c_custkey + 1 AS dst FROM customer
+  WHERE c_custkey % 50 IN (0, 1, 2, 3, 10)
+  UNION ALL
+  SELECT c_custkey, c_custkey - 2 FROM customer WHERE c_custkey % 50 = 2
+  UNION ALL
+  SELECT c_custkey, c_custkey + 6 FROM customer WHERE c_custkey % 50 = 4
+  UNION ALL
+  SELECT c_custkey, c_custkey - 1 FROM customer WHERE c_custkey % 50 = 11
+), reach AS (
+  SELECT src AS a, dst AS b FROM e
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+), nodes AS (
+  SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e
+), mutual AS (
+  SELECT r1.a AS m, r1.b AS o
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+)
+SELECT n.node AS member_id,
+       LEAST(n.node, COALESCE(MIN(mu.o), n.node)) AS component_id
+FROM nodes n LEFT JOIN mutual mu ON mu.m = n.node
+GROUP BY n.node
+"""
+
+
 def q_events_order_check(spark, sf_dir):
     """Typestate/order evaluation (the reference DFAOrderEvaluator.kt
     checks call sequences along the EOG against a DFA): per user, the
@@ -1037,7 +1135,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "unresolved_refs": (q_unresolved_refs, SQL_UNRESOLVED_REFS),
     "nationkey_union": (q_nationkey_union, SQL_NATIONKEY_UNION),
     "canon_cc": (q_canon_cc, SQL_CANON_CC),
+    "canon_scc": (q_canon_scc, SQL_CANON_SCC),
     "reach_bfs": (q_reach_bfs, SQL_REACH_BFS),
+    "eog_reach_live": (q_eog_reach_live, SQL_EOG_REACH_LIVE),
     "events_order_check": (q_events_order_check, SQL_EVENTS_ORDER_CHECK),
     "eog_order_edges": (q_eog_order_edges, SQL_EOG_ORDER_EDGES),
     "cooccur_parts": (q_cooccur_parts, SQL_COOCCUR_PARTS),

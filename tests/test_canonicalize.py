@@ -84,3 +84,145 @@ def test_canonical_map_matches_golden(spark, alias_df, corpus):
     }
     exp = {r["member_id"]: r["component_id"] for r in corpus["expected_components"]}
     assert got == exp
+
+
+# --- directed SCC ------------------------------------------------------------
+
+from cpg_spark.operators.canonicalize import bfs_reach, scc  # noqa: E402
+from cpg_spark.operators.extract import flag_unreachable_edges  # noqa: E402
+
+
+def _scc_py(edges):
+    """Pure-python Kosaraju for the golden side."""
+    nodes = sorted({x for e in edges for x in e})
+    adj, radj = {}, {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        radj.setdefault(v, []).append(u)
+    seen, order = set(), []
+    for s in nodes:
+        if s in seen:
+            continue
+        stack = [(s, iter(adj.get(s, ())))]
+        seen.add(s)
+        while stack:
+            v, it = stack[-1]
+            for w in it:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append((w, iter(adj.get(w, ()))))
+                    break
+            else:
+                order.append(v)
+                stack.pop()
+    comp = {}
+    for s in reversed(order):
+        if s in comp:
+            continue
+        members, stack = [], [s]
+        comp[s] = s
+        while stack:
+            v = stack.pop()
+            members.append(v)
+            for w in radj.get(v, ()):
+                if w not in comp:
+                    comp[w] = s
+                    stack.append(w)
+        root = min(members)
+        for m in members:
+            comp[m] = root
+    return comp
+
+
+SCC_EDGES = [
+    (1, 2), (2, 3), (3, 1),      # 3-cycle
+    (3, 4), (4, 5),              # DAG tail
+    (5, 10), (10, 11), (11, 10), # bridge into a 2-cycle
+    (20, 21),                    # disconnected DAG pair
+]
+SCC_EXPECTED = {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 10: 10, 11: 10, 20: 20, 21: 21}
+
+
+def test_scc_tarjan_planted(spark):
+    df = spark.createDataFrame(SCC_EDGES, "src long, dst long")
+    got = {r["member_id"]: r["component_id"] for r in scc(df).collect()}
+    assert got == SCC_EXPECTED == _scc_py(SCC_EDGES)
+
+
+def test_scc_distributed_matches_tarjan(spark):
+    """driver_threshold=0 forces the coloring scale path; must agree with
+    driver Tarjan and the pure-python golden on the planted graph."""
+    df = spark.createDataFrame(SCC_EDGES, "src long, dst long")
+    got = {r["member_id"]: r["component_id"]
+           for r in scc(df, driver_threshold=0).collect()}
+    assert got == SCC_EXPECTED
+
+
+def test_scc_random_matches_python(spark):
+    rng = random.Random(13)
+    nodes = list(range(30))
+    edges = list({(rng.choice(nodes), rng.choice(nodes)) for _ in range(60)})
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["member_id"]: r["component_id"] for r in scc(df).collect()}
+    assert got == _scc_py(edges)
+
+
+def test_scc_does_not_overmerge_like_cc(spark):
+    """A directed chain is one undirected component but n SCCs — the
+    reason Components.kt needs SCC, not CC."""
+    edges = [(i, i + 1) for i in range(5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["member_id"]: r["component_id"] for r in scc(df).collect()}
+    assert got == {i: i for i in range(6)}
+    cc = {r["member_id"]: r["component_id"]
+          for r in connected_components(df).collect()}
+    assert set(cc.values()) == {0}
+
+
+# --- unreachable-edge flags --------------------------------------------------
+
+
+def test_flag_unreachable_and_bfs_skip(spark):
+    """UnreachableEOGPass analog end to end: edges contradicting their
+    guard's folded condition are flagged, and bfs_reach refuses to follow
+    them; NULL conditions / unconditional edges stay reachable."""
+    rows = [
+        # (src, dst, branch, cond_value)
+        (0, 1, "true", True),    # live
+        (0, 2, "false", True),   # dead: cond folds true, false-branch
+        (1, 3, "true", False),   # dead
+        (1, 4, "false", False),  # live
+        (4, 5, None, None),      # unconditional -> live
+        (5, 6, "true", None),    # condition didn't fold -> conservative live
+    ]
+    edges = spark.createDataFrame(
+        rows, "src long, dst long, branch string, cond_value boolean"
+    )
+    flagged = flag_unreachable_edges(edges)
+    dead = {(r["src"], r["dst"]) for r in flagged.collect() if r["unreachable"]}
+    assert dead == {(0, 2), (1, 3)}
+    seeds = spark.createDataFrame([(0,)], "node long")
+    reached = {r["node"]: r["hops"] for r in bfs_reach(flagged, seeds).collect()}
+    assert reached == {0: 0, 1: 1, 4: 2, 5: 3, 6: 4}
+    # honor_unreachable=False follows everything
+    all_reached = {r["node"] for r in
+                   bfs_reach(flagged, seeds, honor_unreachable=False).collect()}
+    assert all_reached == {0, 1, 2, 3, 4, 5, 6}
+
+
+# --- reliable checkpointing --------------------------------------------------
+
+
+def test_reliable_checkpoint_converges_identically(spark, tmp_path):
+    """checkpoint_dir swaps localCheckpoint for reliable checkpoint();
+    the star loop and SCC must converge to identical results."""
+    edges = [(f"n{i:03d}", f"n{i+1:03d}") for i in range(23)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    base = {r["member_id"]: r["component_id"]
+            for r in connected_components(df, driver_threshold=0).collect()}
+    rel = {r["member_id"]: r["component_id"]
+           for r in connected_components(
+               df, driver_threshold=0, checkpoint_dir=str(tmp_path / "ck")
+           ).collect()}
+    assert base == rel == {f"n{i:03d}": "n000" for i in range(24)}
