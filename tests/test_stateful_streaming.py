@@ -65,3 +65,52 @@ def test_stateful_sessions_match_batch(spark, events_stream_dir, tmp_path):
 
     assert got == expected
     assert len(got) > 0
+
+
+def test_stateful_sessions_multi_chunk(spark, events_stream_dir, tmp_path):
+    """Force tiny Arrow batches so one group spans many chunks in a single
+    micro-batch — the ordering bug a within-chunk sort would mask."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        schema = "user_id long, ts_us long"
+        stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+        sessions = stateful.sessionize_stream(stream)
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName("sess_chunked")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["user_id"], r["session_start_us"]): (r["session_end_us"], r["n_events"])
+            for r in spark.sql("SELECT * FROM sess_chunked").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+    ev = spark.read.parquet(events_stream_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    is_new = F.when(gap.isNull() | (gap > stateful.SESSION_GAP_US), 1).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        ev.withColumn("sid", F.sum(is_new).over(wsum))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts_us").alias("start"),
+            F.max("ts_us").alias("end"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    last_sid = sess.groupBy("user_id").agg(F.max("sid").alias("max_sid"))
+    closed = sess.join(last_sid, "user_id").filter(F.col("sid") != F.col("max_sid"))
+    expected = {
+        (r["user_id"], r["start"]): (r["end"], r["n"]) for r in closed.collect()
+    }
+    assert got == expected and len(got) > 0
