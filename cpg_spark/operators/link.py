@@ -58,6 +58,124 @@ def link_mentions(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
     )
 
 
+def scope_ancestors(scopes: DataFrame, max_depth: int = 32) -> DataFrame:
+    """Reflexive-transitive parent closure of the scope tree:
+    (scope_id, ancestor_id, dist) with dist 0 = the scope itself.
+
+    The reference walks parent scopes per reference at resolve time
+    (ScopeManager.kt:625-653 `resolve` loops `scope = scope.parent`);
+    precomputing the closure once turns that per-row walk into a single
+    equi-join — the scope tree is metadata-sized next to the mention
+    stream. Iterative frontier joins, bounded by max_depth."""
+    anc = scopes.select(
+        "scope_id", F.col("scope_id").alias("ancestor_id"), F.lit(0).alias("dist")
+    )
+    parents = scopes.select(
+        F.col("scope_id").alias("__s"), F.col("parent_scope_id").alias("__p")
+    ).filter(F.col("__p").isNotNull())
+    frontier = parents.select(
+        F.col("__s").alias("scope_id"),
+        F.col("__p").alias("ancestor_id"),
+        F.lit(1).alias("dist"),
+    ).localCheckpoint(eager=True)
+    for d in range(2, max_depth + 1):
+        if frontier.isEmpty():
+            break
+        anc = anc.unionByName(frontier)
+        frontier = (
+            frontier.join(parents, frontier["ancestor_id"] == parents["__s"])
+            .select("scope_id", F.col("__p").alias("ancestor_id"), F.lit(d).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return anc.unionByName(frontier) if not frontier.isEmpty() else anc
+
+
+def resolve_scoped(
+    refs: DataFrame, decls: DataFrame, scopes: DataFrame, max_depth: int = 32
+) -> DataFrame:
+    """Scope-chain reference resolution: each ref (scope_id, name) binds
+    to the declaration of the same name in the NEAREST enclosing scope —
+    innermost wins (ScopeManager.kt:625-653; SURVEY §2.2#4's
+    row_number-over-scope-distance mapping). Returns one row per resolved
+    ref: (scope_id, name, decl_scope, hops); refs with no declaration in
+    any enclosing scope drop out (callers union an inferred-decl branch,
+    as link_mentions does for flat aliases).
+
+    Shape: refs ⋈ ancestor-closure ⋈ decls, then a window picking
+    min dist (deterministic tie-break on decl_scope)."""
+    anc = scope_ancestors(scopes, max_depth)
+    d = decls.select(
+        F.col("scope_id").alias("decl_scope"), F.col("name").alias("__dname")
+    )
+    cand = (
+        refs.join(anc, "scope_id")
+        .join(
+            d,
+            (F.col("ancestor_id") == F.col("decl_scope"))
+            & (F.col("name") == F.col("__dname")),
+        )
+        .drop("__dname")
+    )
+    w = Window.partitionBy("scope_id", "name").orderBy(
+        F.asc("dist"), F.asc("decl_scope")
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "scope_id",
+            "name",
+            "decl_scope",
+            F.col("dist").cast("int").alias("hops"),
+        )
+    )
+
+
+# implicit-cast compatibility: (expected, candidate) pairs that earn
+# partial credit — the CXXCallResolverHelper.kt implicit-cast analog for
+# the entity-type domain
+CAST_OK: tuple[tuple[str, str], ...] = (("OBJ", "TOOL"), ("OP", "TOOL"))
+
+SCORE_W_TYPE = 0.5
+SCORE_W_ARITY = 0.3
+SCORE_W_PRIOR = 0.2
+
+
+def score_candidates(cands: DataFrame) -> DataFrame:
+    """CallResolver signature scoring (reference SymbolResolverPass.kt:
+    81-94 matches name+returnType+signature; CXXCallResolverHelper.kt
+    ranks implicit-cast matches below exact ones): a vectorized
+    multi-feature score over (mention, candidate) pairs, NOT prior-only.
+
+    Expects columns: expected_type, entity_type, n_words (mention arity),
+    alias_arity (candidate arity), prior in [0,1]. Features:
+      type_compat  — 1.0 exact, 0.5 implicit-cast (CAST_OK), else 0.0
+      arity_compat — 1.0 exact, 0.5 off-by-one, else 0.0
+      prior        — the dictionary prior
+    score = 0.5·type + 0.3·arity + 0.2·prior. Pure Column expressions —
+    whole-stage codegen, no shuffle added."""
+    cast_pred = F.lit(False)
+    for exp, cand in CAST_OK:
+        cast_pred = cast_pred | (
+            (F.col("expected_type") == exp) & (F.col("entity_type") == cand)
+        )
+    type_compat = (
+        F.when(F.col("expected_type") == F.col("entity_type"), 1.0)
+        .when(cast_pred, 0.5)
+        .otherwise(0.0)
+    )
+    arity_gap = F.abs(F.col("n_words") - F.col("alias_arity"))
+    arity_compat = (
+        F.when(arity_gap == 0, 1.0).when(arity_gap == 1, 0.5).otherwise(0.0)
+    )
+    return cands.withColumn(
+        "score",
+        SCORE_W_TYPE * type_compat
+        + SCORE_W_ARITY * arity_compat
+        + SCORE_W_PRIOR * F.col("prior"),
+    )
+
+
 def link_candidates(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
     """All-candidate scoring variant: keeps every (mention, candidate)
     pair with a rank — the CallResolver signature-scoring analog

@@ -26,11 +26,14 @@ import re
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    BooleanType,
     IntegerType,
     StringType,
     StructField,
     StructType,
 )
+
+from ..functions import grammar as G
 
 PATTERN_SCHEMA = StructType(
     [
@@ -38,6 +41,23 @@ PATTERN_SCHEMA = StructType(
         StructField("n_aliases", IntegerType()),
         StructField("charset_regex", StringType()),
         StructField("exact_regex", StringType()),
+    ]
+)
+
+# one production per row; symbols are ('t', literal) / ('n', nt id-as-string),
+# epsilon = both kinds NULL; nt 0 is the start/hotspot nonterminal
+PRODUCTION_SCHEMA = (
+    "hotspot_id string, nt long, prod_idx int, "
+    "s1_kind string, s1 string, s2_kind string, s2 string"
+)
+
+GRAMMAR_PATTERN_SCHEMA = StructType(
+    [
+        StructField("hotspot_id", StringType()),
+        StructField("n_nonterminals", IntegerType()),
+        StructField("n_productions", IntegerType()),
+        StructField("was_approximated", BooleanType()),
+        StructField("regex", StringType()),
     ]
 )
 
@@ -111,3 +131,59 @@ def entity_surface_patterns(alias_dict: DataFrame, canon: DataFrame) -> DataFram
     # EndToEndStringPropertyTest.kt:54-90; a mapInPandas over a hash
     # repartition could split a group across Arrow batches)
     return members.groupBy("component_id").applyInPandas(synth, PATTERN_SCHEMA)
+
+
+def _build_grammar(pdf: pd.DataFrame) -> tuple[G.Grammar, dict[int, int]]:
+    g = G.Grammar()
+    ids: dict[int, int] = {}
+
+    def nt_of(raw: int) -> int:
+        if raw not in ids:
+            ids[raw] = g.add_nt(str(raw))
+        return ids[raw]
+
+    def sym(kind, val) -> tuple | None:
+        if kind is None or (isinstance(kind, float) and pd.isna(kind)):
+            return None
+        if kind == "t":
+            return (G.T, val)
+        return (G.N, nt_of(int(val)))
+
+    rows = pdf.sort_values(["nt", "prod_idx"]).itertuples(index=False)
+    for row in rows:
+        nt = nt_of(int(row.nt))
+        symbols = tuple(
+            s for s in (sym(row.s1_kind, row.s1), sym(row.s2_kind, row.s2)) if s
+        )
+        g.add_prod(nt, symbols)
+    return g, ids
+
+
+def grammar_patterns(prods: DataFrame) -> DataFrame:
+    """The full string-approximation chain for grammar-valued hotspots
+    (the reference's flagship: createGrammar → RegularApproximation →
+    GrammarToNFA → toRegex; RegularApproximation.kt:45-174,
+    EndToEndStringPropertyTest.kt:54-90). Input: one production per row
+    (PRODUCTION_SCHEMA); nt 0 is the hotspot/start nonterminal.
+
+    Per hotspot: rebuild the grammar, detect cyclic (BOTH-recursive)
+    components, apply the Mohri-Nederhof primed-nonterminal rewriting
+    when needed (was_approximated=True ⇒ the regex is a sound regular
+    OVER-approximation; False ⇒ it is the exact language), synthesize the
+    regex by per-SCC Arden elimination. Grouped map: grammars are small,
+    hotspots are many — parallelism is per hotspot, like the reference's
+    per-hotspot local automata."""
+
+    def synth(pdf: pd.DataFrame) -> pd.DataFrame:
+        hid = pdf["hotspot_id"].iloc[0]
+        g, ids = _build_grammar(pdf)
+        start = ids[0]
+        approximated = G.regular_approximation(g, hotspots={start})
+        rx = G.grammar_to_regex(g, start)
+        n_prods = sum(len(ps) for ps in g.prods.values())
+        return pd.DataFrame(
+            [(hid, len(g.prods), n_prods, approximated, rx)],
+            columns=[f.name for f in GRAMMAR_PATTERN_SCHEMA.fields],
+        )
+
+    return prods.groupBy("hotspot_id").applyInPandas(synth, GRAMMAR_PATTERN_SCHEMA)

@@ -572,6 +572,39 @@ FROM events GROUP BY user_id
 """
 
 
+def q_qt_forall_witness(spark, sf_dir):
+    """QueryTree ∀ with witness provenance (reference query/QueryTree.kt:
+    162-296, Query.kt all()): per order, assert every item has
+    l_quantity < 50; the result struct carries op, evaluated repr, and
+    the failing element subtrees as JSON children (sorted, capped at 5 —
+    never an unbounded collect). Flattened for the oracle: witnesses
+    joined with '|'."""
+    from . import querytree as qt
+
+    li = t(spark, sf_dir, "lineitem")
+    elem = qt.qt_lt(F.col("l_quantity"), F.lit(50))
+    out = qt.qt_forall(li, ["l_orderkey"], elem)
+    return out.select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("qt.value").alias("value"),
+        F.col("n_failing"),
+        F.concat_ws("|", F.col("qt.children")).alias("witnesses"),
+    )
+
+
+SQL_QT_FORALL_WITNESS = """
+SELECT l_orderkey AS order_key,
+       bool_and(l_quantity < 50) AS value,
+       COUNT(CASE WHEN l_quantity >= 50 THEN 1 END) AS n_failing,
+       COALESCE(array_to_string(
+         list_sort(list(
+           '{"value":false,"op":"lt","repr":"' || CAST(l_quantity AS VARCHAR)
+             || ' < 50 = false","children":[]}'
+         ) FILTER (WHERE l_quantity >= 50))[1:5], '|'), '') AS witnesses
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # 2. events: windowed aggregation + sessionization
 
@@ -735,6 +768,212 @@ SELECT a.entity_id AS subj, 'co_occurs_with' AS pred, b.entity_id AS obj,
 FROM m a JOIN m b
   ON a.doc_id = b.doc_id AND a.chunk = b.chunk AND a.entity_id < b.entity_id
 GROUP BY 1, 2, 3
+"""
+
+
+def q_link_scope_chain(spark, sf_dir):
+    """Scope-chain resolution (reference ScopeManager.kt:625-653 walks
+    parent scopes; innermost declaration wins). Planted tree per 50-key
+    block s: scopes s (root) ← s+1 ← s+2; declarations x,y in s and a
+    SHADOWING x in s+2; refs x,y,z in s+2 and x in s+1. Expected: x@s+2
+    binds the shadow (hops 0), x@s+1 binds the root (hops 1), y@s+2 binds
+    the root (hops 2), z never resolves (drops out)."""
+    from .operators import link
+
+    cust = t(spark, sf_dir, "customer")
+    k, m = F.col("c_custkey"), F.col("c_custkey") % 50
+    scopes = cust.filter(m <= 2).select(
+        k.alias("scope_id"),
+        F.when(m.isin(1, 2), k - 1).alias("parent_scope_id"),
+    )
+    decls = (
+        cust.filter(m == 0)
+        .select(k.alias("scope_id"), F.lit("x").alias("name"))
+        .union(cust.filter(m == 0).select(k, F.lit("y")))
+        .union(cust.filter(m == 2).select(k, F.lit("x")))
+    )
+    names = spark.createDataFrame([("x",), ("y",), ("z",)], "name string")
+    refs = (
+        cust.filter(m == 2)
+        .select(k.alias("scope_id"))
+        .crossJoin(F.broadcast(names))
+        .union(cust.filter(m == 1).select(k, F.lit("x")))
+    )
+    return link.resolve_scoped(refs, decls, scopes)
+
+
+SQL_LINK_SCOPE_CHAIN = """
+WITH RECURSIVE scopes AS (
+  SELECT c_custkey AS scope_id,
+         CASE WHEN c_custkey % 50 IN (1, 2) THEN c_custkey - 1 END AS parent
+  FROM customer WHERE c_custkey % 50 <= 2
+), anc AS (
+  SELECT scope_id, scope_id AS ancestor, 0 AS dist FROM scopes
+  UNION ALL
+  SELECT a.scope_id, s.parent, a.dist + 1
+  FROM anc a JOIN scopes s ON s.scope_id = a.ancestor
+  WHERE s.parent IS NOT NULL
+), decls AS (
+  SELECT c_custkey AS scope_id, 'x' AS name FROM customer WHERE c_custkey % 50 = 0
+  UNION ALL
+  SELECT c_custkey, 'y' FROM customer WHERE c_custkey % 50 = 0
+  UNION ALL
+  SELECT c_custkey, 'x' FROM customer WHERE c_custkey % 50 = 2
+), refs AS (
+  SELECT c_custkey AS scope_id, v.name
+  FROM customer CROSS JOIN (SELECT unnest(['x','y','z']) AS name) v
+  WHERE c_custkey % 50 = 2
+  UNION ALL
+  SELECT c_custkey, 'x' FROM customer WHERE c_custkey % 50 = 1
+)
+SELECT r.scope_id, r.name, d.scope_id AS decl_scope, CAST(a.dist AS INT) AS hops
+FROM refs r
+JOIN anc a ON a.scope_id = r.scope_id
+JOIN decls d ON d.scope_id = a.ancestor AND d.name = r.name
+QUALIFY row_number() OVER (PARTITION BY r.scope_id, r.name
+                           ORDER BY a.dist, d.scope_id) = 1
+"""
+
+
+def q_link_scored(spark, sf_dir):
+    """CallResolver multi-feature candidate scoring (reference
+    SymbolResolverPass.kt:81-94, CXXCallResolverHelper.kt implicit-cast
+    ranking): per mention, 3 planted candidates with varying type / arity
+    / prior; winner = argmax(0.5·type_compat + 0.3·arity_compat +
+    0.2·prior). Emits both the scored pick and the prior-only pick so the
+    result proves they differ (best_scored != best_prior on many rows)."""
+    from .operators import link
+
+    types = ["TOOL", "OBJ", "OP"]
+    type_expr = lambda e: (  # noqa: E731
+        F.when(e % 3 == 0, types[0]).when(e % 3 == 1, types[1]).otherwise(types[2])
+    )
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    k = F.col("c_custkey")
+    cands = cust.select(
+        k.alias("mention_id"),
+        F.explode(F.array(*[F.lit(i) for i in range(3)])).alias("cand_id"),
+    ).select(
+        "mention_id",
+        "cand_id",
+        type_expr(F.col("mention_id")).alias("expected_type"),
+        (F.col("mention_id") % 2 + 1).alias("n_words"),
+        type_expr(F.col("mention_id") + F.col("cand_id")).alias("entity_type"),
+        ((F.col("mention_id") + F.col("cand_id")) % 2 + 1).alias("alias_arity"),
+        (((F.col("mention_id") + 2 * F.col("cand_id")) % 5) / 4.0).alias("prior"),
+    )
+    scored = link.score_candidates(cands)
+    w_s = Window.partitionBy("mention_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    w_p = Window.partitionBy("mention_id").orderBy(F.desc("prior"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn_s", F.row_number().over(w_s))
+        .withColumn(
+            "best_prior",
+            F.first(F.col("cand_id")).over(
+                w_p.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
+        )
+        .filter(F.col("rn_s") == 1)
+        .select(
+            "mention_id",
+            F.col("cand_id").alias("best_scored"),
+            F.round("score", 4).alias("score"),
+            "best_prior",
+        )
+    )
+
+
+SQL_LINK_SCORED = """
+WITH cands AS (
+  SELECT c_custkey AS mention_id, cand_id,
+         CASE c_custkey % 3 WHEN 0 THEN 'TOOL' WHEN 1 THEN 'OBJ' ELSE 'OP' END AS expected_type,
+         c_custkey % 2 + 1 AS n_words,
+         CASE (c_custkey + cand_id) % 3 WHEN 0 THEN 'TOOL' WHEN 1 THEN 'OBJ' ELSE 'OP' END AS entity_type,
+         (c_custkey + cand_id) % 2 + 1 AS alias_arity,
+         ((c_custkey + 2 * cand_id) % 5) / 4.0 AS prior
+  FROM customer CROSS JOIN (SELECT unnest([0, 1, 2]) AS cand_id)
+  WHERE c_custkey % 10 = 0
+), scored AS (
+  SELECT *,
+         0.5 * (CASE WHEN expected_type = entity_type THEN 1.0
+                     WHEN (expected_type = 'OBJ' AND entity_type = 'TOOL')
+                       OR (expected_type = 'OP' AND entity_type = 'TOOL') THEN 0.5
+                     ELSE 0.0 END)
+         + 0.3 * (CASE abs(n_words - alias_arity) WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 ELSE 0.0 END)
+         + 0.2 * prior AS score
+  FROM cands
+)
+SELECT s.mention_id, s.cand_id AS best_scored, round(s.score, 4) AS score,
+       p.cand_id AS best_prior
+FROM (SELECT *, row_number() OVER (PARTITION BY mention_id
+                                   ORDER BY score DESC, cand_id) AS rn
+      FROM scored) s
+JOIN (SELECT mention_id, cand_id,
+             row_number() OVER (PARTITION BY mention_id
+                                ORDER BY prior DESC, cand_id) AS rn
+      FROM scored) p
+  ON s.mention_id = p.mention_id AND p.rn = 1
+WHERE s.rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3b. string-approximation chain (grammar -> regular approximation -> regex)
+
+_GRAMMAR_PROBES = ["", "ab", "aabb", "aab", "abb", "aaa", "ba", "aba", "bab"]
+
+
+def q_sa_grammar_accept(spark, sf_dir):
+    """Mohri-Nederhof regular approximation end to end (reference
+    RegularApproximation.kt:45-174, EndToEndStringPropertyTest.kt:54-90):
+    per nation, plant the BOTH-recursive grammar S → a T | ε, T → S b
+    (the binarized aⁿbⁿ — NOT regular), approximate, synthesize the
+    regex, and test a fixed probe set. The oracle encodes the
+    mathematically expected MN closure of that grammar: exactly a*b*
+    (sound superset of aⁿbⁿ) — so the hash only passes if the dynamic
+    grammar→regex chain realizes precisely that language."""
+    from .operators import stringapprox
+
+    def s(v):
+        return F.lit(v).cast("string") if v is not None else F.lit(None).cast("string")
+
+    def prod(nt, idx, k1, v1, k2, v2):
+        return F.struct(
+            F.lit(nt).cast("long").alias("nt"),
+            F.lit(idx).cast("int").alias("prod_idx"),
+            s(k1).alias("s1_kind"),
+            s(v1).alias("s1"),
+            s(k2).alias("s2_kind"),
+            s(v2).alias("s2"),
+        )
+
+    nation = t(spark, sf_dir, "nation")
+    prods = nation.select(
+        F.col("n_nationkey").cast("string").alias("hotspot_id"),
+        F.explode(
+            F.array(
+                prod(0, 0, "t", "a", "n", "1"),   # S -> a T
+                prod(0, 1, None, None, None, None),  # S -> eps
+                prod(1, 0, "n", "0", "t", "b"),   # T -> S b
+            )
+        ).alias("p"),
+    ).select("hotspot_id", "p.*")
+    pats = stringapprox.grammar_patterns(prods)
+    probes = spark.createDataFrame([(p,) for p in _GRAMMAR_PROBES], "probe string")
+    return pats.crossJoin(F.broadcast(probes)).select(
+        "hotspot_id",
+        "probe",
+        F.expr("probe RLIKE concat('^(?:', regex, ')$')").alias("accepted"),
+    )
+
+
+_PROBE_LIST = ", ".join(f"'{p}'" for p in _GRAMMAR_PROBES)
+
+SQL_SA_GRAMMAR_ACCEPT = f"""
+SELECT CAST(n_nationkey AS VARCHAR) AS hotspot_id, probe,
+       regexp_full_match(probe, 'a*b*') AS accepted
+FROM nation
+CROSS JOIN (SELECT unnest([{_PROBE_LIST}]) AS probe)
 """
 
 
@@ -1131,6 +1370,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # relational / reference-pass analogs
     "pass_stats_agg": (q_pass_stats_agg, SQL_PASS_STATS_AGG),
     "link_bestpick": (q_link_bestpick, SQL_LINK_BESTPICK),
+    "link_scope_chain": (q_link_scope_chain, SQL_LINK_SCOPE_CHAIN),
+    "link_scored": (q_link_scored, SQL_LINK_SCORED),
     "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
     "unresolved_refs": (q_unresolved_refs, SQL_UNRESOLVED_REFS),
     "nationkey_union": (q_nationkey_union, SQL_NATIONKEY_UNION),
@@ -1139,6 +1380,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "reach_bfs": (q_reach_bfs, SQL_REACH_BFS),
     "eog_reach_live": (q_eog_reach_live, SQL_EOG_REACH_LIVE),
     "events_order_check": (q_events_order_check, SQL_EVENTS_ORDER_CHECK),
+    "qt_forall_witness": (q_qt_forall_witness, SQL_QT_FORALL_WITNESS),
     "eog_order_edges": (q_eog_order_edges, SQL_EOG_ORDER_EDGES),
     "cooccur_parts": (q_cooccur_parts, SQL_COOCCUR_PARTS),
     "topk_customers": (q_topk_customers, SQL_TOPK_CUSTOMERS),
@@ -1152,6 +1394,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kg_doc_mentions": (q_kg_doc_mentions, SQL_KG_DOC_MENTIONS),
     "kg_doc_chunks": (q_kg_doc_chunks, SQL_KG_DOC_CHUNKS),
     "kg_doc_cooccur": (q_kg_doc_cooccur, SQL_KG_DOC_COOCCUR),
+    # string-approximation chain
+    "sa_grammar_accept": (q_sa_grammar_accept, SQL_SA_GRAMMAR_ACCEPT),
     # text analysis
     "ts_token_stats": (q_ts_token_stats, SQL_TS_TOKEN_STATS),
     "ts_quality": (q_ts_quality, SQL_TS_QUALITY),

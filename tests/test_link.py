@@ -73,3 +73,67 @@ def test_link_plan_is_broadcast_no_shuffle(spark, alias_df, pages_df):
     assert "BroadcastHashJoin" in plan
     pre_join = plan.split("BroadcastHashJoin")[0]
     assert "Exchange hashpartitioning" not in pre_join
+
+
+# --- scope-chain resolution ---------------------------------------------------
+
+from cpg_spark.operators.link import (  # noqa: E402
+    resolve_scoped,
+    scope_ancestors,
+    score_candidates,
+)
+
+
+def test_scope_ancestors_closure(spark):
+    scopes = spark.createDataFrame(
+        [(1, None), (2, 1), (3, 2), (10, None)],
+        "scope_id long, parent_scope_id long",
+    )
+    got = {(r["scope_id"], r["ancestor_id"]): r["dist"]
+           for r in scope_ancestors(scopes).collect()}
+    assert got == {
+        (1, 1): 0, (2, 2): 0, (3, 3): 0, (10, 10): 0,
+        (2, 1): 1, (3, 2): 1, (3, 1): 2,
+    }
+
+
+def test_resolve_scoped_innermost_wins(spark):
+    """Shadowing: the nested declaration beats the root one; unshadowed
+    names walk up; undeclared names drop out (ScopeManager.kt:625-653)."""
+    scopes = spark.createDataFrame(
+        [(1, None), (2, 1), (3, 2)], "scope_id long, parent_scope_id long"
+    )
+    decls = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (3, "x")], "scope_id long, name string"
+    )
+    refs = spark.createDataFrame(
+        [(3, "x"), (3, "y"), (3, "z"), (2, "x")], "scope_id long, name string"
+    )
+    got = {(r["scope_id"], r["name"]): (r["decl_scope"], r["hops"])
+           for r in resolve_scoped(refs, decls, scopes).collect()}
+    assert got == {
+        (3, "x"): (3, 0),   # shadowed: innermost wins
+        (3, "y"): (1, 2),   # walks two levels up
+        (2, "x"): (1, 1),   # the shadow at 3 is NOT an ancestor of 2
+    }
+
+
+def test_score_candidates_beats_prior_only(spark):
+    """A type+arity-compatible low-prior candidate must outrank a
+    type-incompatible high-prior one (SymbolResolverPass.kt:81-94 —
+    signature compatibility dominates)."""
+    cands = spark.createDataFrame(
+        [
+            # (mention, cand, expected_type, n_words, entity_type, alias_arity, prior)
+            (1, 0, "OBJ", 2, "OBJ", 2, 0.1),   # exact match, weak prior
+            (1, 1, "OBJ", 2, "OP", 1, 1.0),    # wrong type, strong prior
+            (1, 2, "OBJ", 2, "TOOL", 2, 0.5),  # implicit cast, mid prior
+        ],
+        "mention_id long, cand_id long, expected_type string, n_words long, "
+        "entity_type string, alias_arity long, prior double",
+    )
+    rows = {r["cand_id"]: r["score"] for r in score_candidates(cands).collect()}
+    assert rows[0] == 0.5 * 1.0 + 0.3 * 1.0 + 0.2 * 0.1  # 0.82
+    assert rows[1] == 0.5 * 0.0 + 0.3 * 0.5 + 0.2 * 1.0  # 0.35
+    assert rows[2] == 0.5 * 0.5 + 0.3 * 1.0 + 0.2 * 0.5  # 0.65
+    assert max(rows, key=rows.get) == 0                   # not the prior winner
