@@ -427,6 +427,83 @@ def scc(
     return done
 
 
+def compress_chains(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 32,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Graph compression: contract chains of interior nodes (in-degree 1
+    AND out-degree 1) into single edges — the CompressLLVMPass analog
+    (reference cpg-language-llvm/.../CompressLLVMPass.kt:41-80 inlines
+    basic blocks whose label is referenced by exactly ONE goto; an
+    interior node here is exactly a single-entry single-exit block).
+
+    Returns (src, dst, hops): each surviving edge starts and ends at a
+    non-interior node, hops = 1 + number of contracted interior nodes.
+    Pure cycles of interior nodes have no non-interior entry and drop
+    out entirely (they are unreachable control flow, like an orphaned
+    basic-block loop). Pointer doubling: O(log chain-length) rounds."""
+    e = _ckpt(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct(),
+        checkpoint_dir,
+    )
+    indeg = e.groupBy(F.col("dst").alias("node")).agg(F.count(F.lit(1)).alias("__in"))
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("__out"))
+    interior = _ckpt(
+        indeg.join(outdeg, "node")
+        .filter((F.col("__in") == 1) & (F.col("__out") == 1))
+        .select("node"),
+        checkpoint_dir,
+    )
+    # f: for each interior node, where its (unique) outgoing edge lands
+    # and how many steps that represents; doubling composes f with itself
+    f = _ckpt(
+        e.join(interior, e["src"] == interior["node"]).select(
+            F.col("src").alias("node"),
+            F.col("dst").alias("nxt"),
+            F.lit(1).cast("long").alias("steps"),
+        ),
+        checkpoint_dir,
+    )
+    prev_pending: int | None = None
+    for _ in range(max_iter):
+        pending = f.join(interior, f["nxt"] == interior["node"], "left_semi")
+        n_pending = pending.count()
+        # chains strictly shrink the pending set each doubling; a constant
+        # pending set means only pure interior cycles remain — they are
+        # unreachable from every surviving (non-interior-src) edge, so
+        # stop instead of doubling `steps` to the iteration cap
+        if n_pending == 0 or (prev_pending is not None and n_pending >= prev_pending):
+            break
+        prev_pending = n_pending
+        g = f.select(
+            F.col("node").alias("__gn"), F.col("nxt").alias("__gx"), F.col("steps").alias("__gs")
+        )
+        f = _ckpt(
+            f.join(g, f["nxt"] == g["__gn"], "left").select(
+                "node",
+                F.coalesce("__gx", "nxt").alias("nxt"),
+                (F.col("steps") + F.coalesce("__gs", F.lit(0))).alias("steps"),
+            ),
+            checkpoint_dir,
+        )
+    starts = e.join(interior, e["src"] == interior["node"], "left_anti")
+    fmap = f.select(
+        F.col("node").alias("__fn"), F.col("nxt").alias("__fx"), F.col("steps").alias("__fs")
+    )
+    return (
+        starts.join(fmap, starts["dst"] == fmap["__fn"], "left")
+        .select(
+            "src",
+            F.coalesce("__fx", "dst").alias("dst"),
+            (F.lit(1) + F.coalesce("__fs", F.lit(0))).cast("int").alias("hops"),
+        )
+        .distinct()
+    )
+
+
 def dict_duplicate_edges(alias_dict: DataFrame) -> DataFrame:
     """Candidate-entity duplicate edges: entities sharing an
     (alias, entity_type) are duplicate candidates (the TypeResolver

@@ -131,6 +131,62 @@ def resolve_scoped(
     )
 
 
+def resolve_imports(
+    imports: DataFrame,
+    members: DataFrame,
+    supertypes: DataFrame,
+    max_depth: int = 16,
+) -> DataFrame:
+    """Import resolution with wildcard expansion — the full ImportResolver
+    (reference passes/ImportResolver.kt:51-100): a specific import
+    `Base.member` resolves by exact (owner, name) equi-join; an asterisk
+    import `Base.*` expands to every STATIC member of Base AND of its
+    transitive supertypes ("the class base and its superclasses").
+
+    imports(importer, stmt), members(owner, member, is_static),
+    supertypes(type_name, supertype). Returns
+    (importer, owner, member) — one row per resolved declaration.
+
+    Shape: the wildcard side is a prefix-strip + supertype-closure join +
+    flatMap-by-join (never per-row loops); the closure reuses the
+    scope_ancestors iterative-join machinery (a supertype DAG is just a
+    multi-parent scope tree)."""
+    is_wild = F.col("stmt").endswith(".*")
+    exact = imports.filter(~is_wild).select(
+        "importer",
+        F.regexp_extract("stmt", r"^(.*)\.([^.]*)$", 1).alias("__base"),
+        F.regexp_extract("stmt", r"^(.*)\.([^.]*)$", 2).alias("__name"),
+    )
+    exact_hits = exact.join(
+        members,
+        (exact["__base"] == members["owner"]) & (exact["__name"] == members["member"]),
+    ).select("importer", "owner", "member")
+
+    closure = scope_ancestors(
+        supertypes.select(
+            F.col("type_name").alias("scope_id"),
+            F.col("supertype").alias("parent_scope_id"),
+        ).distinct(),
+        max_depth,
+    ).select(
+        F.col("scope_id").alias("__base"), F.col("ancestor_id").alias("__owner")
+    ).distinct()
+    wild = imports.filter(is_wild).select(
+        "importer", F.expr("substring(stmt, 1, length(stmt) - 2)").alias("__base")
+    )
+    # a base with no supertype row still expands to its own members
+    closure = closure.unionByName(
+        wild.select("__base", F.col("__base").alias("__owner"))
+    ).distinct()
+    wild_hits = (
+        wild.join(closure, "__base")
+        .join(members, F.col("__owner") == members["owner"])
+        .filter(F.col("is_static"))
+        .select("importer", "owner", "member")
+    )
+    return exact_hits.unionByName(wild_hits).distinct()
+
+
 # implicit-cast compatibility: (expected, candidate) pairs that earn
 # partial credit — the CXXCallResolverHelper.kt implicit-cast analog for
 # the entity-type domain

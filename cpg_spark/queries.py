@@ -532,6 +532,117 @@ GROUP BY n.node
 """
 
 
+def q_graph_compress(spark, sf_dir):
+    """Chain compression (reference CompressLLVMPass.kt:41-80 inlines
+    single-entry basic blocks; an interior node = single-entry
+    single-exit block). Planted per 50-key block s: chain
+    s→s+1→s+2→s+3→s+4 plus a detour s→s+10→s+4. Interior nodes
+    s+1,s+2,s+3,s+10 contract: expect (s, s+4, 4) and (s, s+4, 2);
+    node s+4 survives (in-degree 2)."""
+    cust = t(spark, sf_dir, "customer")
+    k, m = F.col("c_custkey"), F.col("c_custkey") % 50
+    chain = cust.filter(m <= 3).select(k.alias("src"), (k + 1).alias("dst"))
+    d1 = cust.filter(m == 0).select(k.alias("src"), (k + 10).alias("dst"))
+    d2 = cust.filter(m == 10).select(k.alias("src"), (k - 6).alias("dst"))
+    return canonicalize.compress_chains(chain.union(d1).union(d2))
+
+
+SQL_GRAPH_COMPRESS = """
+WITH RECURSIVE e AS (
+  SELECT c_custkey AS src, c_custkey + 1 AS dst FROM customer WHERE c_custkey % 50 <= 3
+  UNION ALL
+  SELECT c_custkey, c_custkey + 10 FROM customer WHERE c_custkey % 50 = 0
+  UNION ALL
+  SELECT c_custkey, c_custkey - 6 FROM customer WHERE c_custkey % 50 = 10
+), deg AS (
+  SELECT node,
+         SUM(indeg) AS indeg, SUM(outdeg) AS outdeg
+  FROM (
+    SELECT dst AS node, 1 AS indeg, 0 AS outdeg FROM e
+    UNION ALL
+    SELECT src, 0, 1 FROM e)
+  GROUP BY node
+), interior AS (
+  SELECT node FROM deg WHERE indeg = 1 AND outdeg = 1
+), walk AS (
+  SELECT src, dst, 1 AS hops FROM e
+  WHERE src NOT IN (SELECT node FROM interior)
+  UNION ALL
+  SELECT w.src, e.dst, w.hops + 1
+  FROM walk w
+  JOIN interior i ON w.dst = i.node
+  JOIN e ON e.src = w.dst
+)
+SELECT DISTINCT src, dst, CAST(hops AS INT) AS hops FROM walk
+WHERE dst NOT IN (SELECT node FROM interior)
+"""
+
+
+def q_link_imports(spark, sf_dir):
+    """ImportResolver with wildcard expansion (reference
+    ImportResolver.kt:51-100): exact imports equi-join; `Base.*` expands
+    to the static members of Base AND its transitive supertypes. Planted
+    per key k (k%100==0): class C_k extends S_{k%3}; C_k has statics
+    m0,m1 and instance member i0; S_j has static sm and instance si.
+    Importer I_k imports 'C_k.m0' exactly and 'C_k.*'."""
+    from .operators import link
+
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 100 == 0)
+    k = F.col("c_custkey")
+    cls = F.concat(F.lit("C"), k.cast("string"))
+    sup = F.concat(F.lit("S"), (k % 3).cast("string"))
+    importer = F.concat(F.lit("I"), k.cast("string"))
+    supertypes = cust.select(cls.alias("type_name"), sup.alias("supertype"))
+    members = (
+        cust.select(cls.alias("owner"), F.lit("m0").alias("member"), F.lit(True).alias("is_static"))
+        .union(cust.select(cls, F.lit("m1"), F.lit(True)))
+        .union(cust.select(cls, F.lit("i0"), F.lit(False)))
+        .union(cust.select(sup, F.lit("sm"), F.lit(True)))
+        .union(cust.select(sup, F.lit("si"), F.lit(False)))
+    ).distinct()
+    imports = (
+        cust.select(importer.alias("importer"), F.concat(cls, F.lit(".m0")).alias("stmt"))
+        .union(cust.select(importer, F.concat(cls, F.lit(".*"))))
+    )
+    return link.resolve_imports(imports, members, supertypes)
+
+
+SQL_LINK_IMPORTS = """
+WITH k AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 100 = 0),
+names AS (
+  SELECT k, 'C' || CAST(k AS VARCHAR) AS cls, 'S' || CAST(k % 3 AS VARCHAR) AS sup,
+         'I' || CAST(k AS VARCHAR) AS importer
+  FROM k
+),
+members AS (
+  SELECT DISTINCT * FROM (
+    SELECT cls AS owner, 'm0' AS member, TRUE AS is_static FROM names
+    UNION ALL SELECT cls, 'm1', TRUE FROM names
+    UNION ALL SELECT cls, 'i0', FALSE FROM names
+    UNION ALL SELECT sup, 'sm', TRUE FROM names
+    UNION ALL SELECT sup, 'si', FALSE FROM names)
+),
+exact AS (
+  SELECT n.importer, m.owner, m.member
+  FROM names n JOIN members m ON m.owner = n.cls AND m.member = 'm0'
+),
+closure AS (
+  SELECT cls AS base, cls AS owner FROM names
+  UNION
+  SELECT cls, sup FROM names
+),
+wild AS (
+  SELECT n.importer, m.owner, m.member
+  FROM names n
+  JOIN closure c ON c.base = n.cls
+  JOIN members m ON m.owner = c.owner
+  WHERE m.is_static
+)
+SELECT DISTINCT importer, owner, member FROM (
+  SELECT * FROM exact UNION ALL SELECT * FROM wild)
+"""
+
+
 def q_events_order_check(spark, sf_dir):
     """Typestate/order evaluation (the reference DFAOrderEvaluator.kt
     checks call sequences along the EOG against a DFA): per user, the
@@ -1372,6 +1483,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "link_bestpick": (q_link_bestpick, SQL_LINK_BESTPICK),
     "link_scope_chain": (q_link_scope_chain, SQL_LINK_SCOPE_CHAIN),
     "link_scored": (q_link_scored, SQL_LINK_SCORED),
+    "link_imports": (q_link_imports, SQL_LINK_IMPORTS),
+    "graph_compress": (q_graph_compress, SQL_GRAPH_COMPRESS),
     "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
     "unresolved_refs": (q_unresolved_refs, SQL_UNRESOLVED_REFS),
     "nationkey_union": (q_nationkey_union, SQL_NATIONKEY_UNION),

@@ -226,3 +226,35 @@ def test_reliable_checkpoint_converges_identically(spark, tmp_path):
                df, driver_threshold=0, checkpoint_dir=str(tmp_path / "ck")
            ).collect()}
     assert base == rel == {f"n{i:03d}": "n000" for i in range(24)}
+
+
+# --- chain compression (CompressLLVMPass analog) -------------------------------
+
+from cpg_spark.operators.canonicalize import compress_chains  # noqa: E402
+
+
+def test_compress_chains_planted(spark):
+    """Chain a->b->c->d with a detour a->x->d: interior nodes b,c,x
+    contract; d (in-degree 2) and a (out-degree 2) survive."""
+    edges = [(1, 2), (2, 3), (3, 4), (1, 10), (10, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r["src"], r["dst"], r["hops"]) for r in compress_chains(df).collect()}
+    assert got == {(1, 4, 3), (1, 4, 2)}
+
+
+def test_compress_chains_long_chain_log_rounds(spark):
+    """A 40-node chain collapses to one edge with hops=40 — pointer
+    doubling, not per-node rounds."""
+    edges = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = [(r["src"], r["dst"], r["hops"]) for r in compress_chains(df).collect()]
+    assert got == [(0, 40, 40)]
+
+
+def test_compress_chains_pure_cycle_drops(spark):
+    """An all-interior cycle has no non-interior entry: it disappears
+    (orphaned basic-block loop); a separate normal edge is untouched."""
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r["src"], r["dst"], r["hops"]) for r in compress_chains(df).collect()}
+    assert got == {(10, 11, 1)}

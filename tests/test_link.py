@@ -137,3 +137,37 @@ def test_score_candidates_beats_prior_only(spark):
     assert rows[1] == 0.5 * 0.0 + 0.3 * 0.5 + 0.2 * 1.0  # 0.35
     assert rows[2] == 0.5 * 0.5 + 0.3 * 1.0 + 0.2 * 0.5  # 0.65
     assert max(rows, key=rows.get) == 0                   # not the prior winner
+
+
+# --- import resolution with wildcard expansion ---------------------------------
+
+from cpg_spark.operators.link import resolve_imports  # noqa: E402
+
+
+def test_resolve_imports_exact_and_wildcard(spark):
+    """ImportResolver.kt:51-100: exact imports bind one member; Base.*
+    expands to the statics of Base and its transitive supertypes,
+    skipping instance members."""
+    imports = spark.createDataFrame(
+        [("I1", "C1.m0"), ("I1", "C1.*"), ("I2", "Root.*"), ("I3", "C1.i0")],
+        "importer string, stmt string",
+    )
+    members = spark.createDataFrame(
+        [
+            ("C1", "m0", True), ("C1", "m1", True), ("C1", "i0", False),
+            ("Mid", "mm", True), ("Root", "rm", True), ("Root", "ri", False),
+        ],
+        "owner string, member string, is_static boolean",
+    )
+    supertypes = spark.createDataFrame(
+        [("C1", "Mid"), ("Mid", "Root")], "type_name string, supertype string"
+    )
+    got = {(r["importer"], r["owner"], r["member"])
+           for r in resolve_imports(imports, members, supertypes).collect()}
+    assert got == {
+        ("I1", "C1", "m0"),                    # exact
+        ("I1", "C1", "m1"),                    # wildcard: own statics
+        ("I1", "Mid", "mm"), ("I1", "Root", "rm"),  # transitive supertypes
+        ("I2", "Root", "rm"),                  # base with no supertype row
+        ("I3", "C1", "i0"),                    # exact binds instance members too
+    }
