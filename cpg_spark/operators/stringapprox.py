@@ -25,6 +25,7 @@ import re
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType,
     IntegerType,
@@ -131,6 +132,117 @@ def entity_surface_patterns(alias_dict: DataFrame, canon: DataFrame) -> DataFram
     # EndToEndStringPropertyTest.kt:54-90; a mapInPandas over a hash
     # repartition could split a group across Arrow batches)
     return members.groupBy("component_id").applyInPandas(synth, PATTERN_SCHEMA)
+
+
+def productions_from_dfg(
+    nodes: DataFrame, edges: DataFrame, hotspots: DataFrame
+) -> DataFrame:
+    """createGrammar analog (reference cpg-analysis grammar creation from
+    the backward DFG slice of a hotspot): turn a string-building DFG into
+    PRODUCTION_SCHEMA rows, one grammar per hotspot.
+
+    nodes(node_id, kind, text): kind 'lit' (text = literal), 'concat'
+    (two incoming args at pos 0/1), 'phi' (alternative definitions — one
+    unit production per incoming edge). edges(child, parent, pos).
+    hotspots(hotspot_id string, node_id): the print/sink nodes whose
+    string language we want.
+
+    The backward slice is a per-hotspot label propagation over reversed
+    edges (the reference walks prevDFG per hotspot; propagating all
+    hotspot labels at once keeps it one frontier loop, not a loop per
+    hotspot — slices may overlap, each hotspot gets its own grammar).
+    Nonterminals are remapped so the hotspot node is nt 0, the start
+    convention grammar_patterns expects; feed the output straight into
+    grammar_patterns for approximation + regex synthesis."""
+    rev = edges.select(F.col("parent").alias("r_src"), F.col("child").alias("r_dst"))
+    labels = hotspots.select("hotspot_id", F.col("node_id").alias("node"))
+    frontier = labels
+    for _ in range(64):
+        nxt = (
+            frontier.join(rev, frontier["node"] == rev["r_src"])
+            .select("hotspot_id", F.col("r_dst").alias("node"))
+            .distinct()
+            .join(labels, ["hotspot_id", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        labels = labels.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+
+    # nt remap: the hotspot node itself -> 0, every other node -> id + 1
+    hot = hotspots.select(
+        "hotspot_id", F.col("node_id").alias("node"), F.lit(True).alias("__is_hot")
+    )
+    nt_map = (
+        labels.join(hot, ["hotspot_id", "node"], "left")
+        .select(
+            "hotspot_id",
+            "node",
+            F.when(F.col("__is_hot"), F.lit(0))
+            .otherwise(F.col("node") + 1)
+            .cast("long")
+            .alias("nt"),
+        )
+    )
+    member = nt_map.join(nodes, nt_map["node"] == nodes["node_id"]).select(
+        "hotspot_id", "node", "nt", "kind", "text"
+    )
+    # per-hotspot edge list with both endpoints remapped
+    child_nt = nt_map.select(
+        "hotspot_id", F.col("node").alias("child"), F.col("nt").alias("child_nt")
+    )
+    parent_nt = nt_map.select(
+        "hotspot_id", F.col("node").alias("parent"), F.col("nt").alias("parent_nt")
+    )
+    ein = (
+        edges.join(child_nt, "child")
+        .join(parent_nt, ["hotspot_id", "parent"])
+        .select("hotspot_id", "parent_nt", "child_nt", "pos")
+    )
+
+    null_s = F.lit(None).cast("string")
+    lit_rows = member.filter(F.col("kind") == "lit").select(
+        "hotspot_id",
+        "nt",
+        F.lit(0).cast("int").alias("prod_idx"),
+        F.lit("t").alias("s1_kind"),
+        F.col("text").alias("s1"),
+        null_s.alias("s2_kind"),
+        null_s.alias("s2"),
+    )
+    concat_rows = (
+        member.filter(F.col("kind") == "concat")
+        .join(ein, (member["nt"] == ein["parent_nt"]) & (member["hotspot_id"] == ein["hotspot_id"]))
+        .groupBy(member["hotspot_id"].alias("hotspot_id"), F.col("nt"))
+        .agg(
+            F.min(F.when(F.col("pos") == 0, F.col("child_nt"))).alias("__a"),
+            F.min(F.when(F.col("pos") == 1, F.col("child_nt"))).alias("__b"),
+        )
+        .select(
+            "hotspot_id",
+            "nt",
+            F.lit(0).cast("int").alias("prod_idx"),
+            F.lit("n").alias("s1_kind"),
+            F.col("__a").cast("string").alias("s1"),
+            F.lit("n").alias("s2_kind"),
+            F.col("__b").cast("string").alias("s2"),
+        )
+    )
+    phi_rows = (
+        member.filter(F.col("kind") == "phi")
+        .join(ein, (member["nt"] == ein["parent_nt"]) & (member["hotspot_id"] == ein["hotspot_id"]))
+        .select(
+            member["hotspot_id"].alias("hotspot_id"),
+            F.col("nt"),
+            F.col("pos").cast("int").alias("prod_idx"),
+            F.lit("n").alias("s1_kind"),
+            F.col("child_nt").cast("string").alias("s1"),
+            null_s.alias("s2_kind"),
+            null_s.alias("s2"),
+        )
+    )
+    return lit_rows.unionByName(concat_rows).unionByName(phi_rows)
 
 
 def _build_grammar(pdf: pd.DataFrame) -> tuple[G.Grammar, dict[int, int]]:

@@ -1088,6 +1088,123 @@ CROSS JOIN (SELECT unnest([{_PROBE_LIST}]) AS probe)
 """
 
 
+def q_eval_const_fold(spark, sf_dir):
+    """Data-level constant propagation (ValueEvaluator analog — the
+    reference folds literals backward over DFG edges; Catalyst only folds
+    inside one expression tree). Planted DAG per 50-key block s:
+    lits s=(s%7), s+1=(s%5), s+2=2; ops s+10=add(s,s+1),
+    s+11=mul(s+10,s+2), s+12=max(s+11,s). Oracle = closed form."""
+    from .operators.evaluate import evaluate_expressions
+
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 50 == 0)
+    k = F.col("c_custkey")
+    nulld = F.lit(None).cast("double")
+    nulls = F.lit(None).cast("string")
+
+    def lit_node(nid, val):
+        return cust.select(
+            nid.cast("long").alias("node_id"), F.lit("lit").alias("kind"),
+            val.cast("double").alias("value"), nulls.alias("op"),
+        )
+
+    def op_node(nid, op):
+        return cust.select(
+            nid.cast("long").alias("node_id"), F.lit("op").alias("kind"),
+            nulld.alias("value"), F.lit(op).alias("op"),
+        )
+
+    nodes = (
+        lit_node(k, k % 7)
+        .union(lit_node(k + 1, k % 5))
+        .union(lit_node(k + 2, F.lit(2)))
+        .union(op_node(k + 10, "add"))
+        .union(op_node(k + 11, "mul"))
+        .union(op_node(k + 12, "max"))
+    )
+
+    def edge(a, b):
+        return cust.select(a.cast("long").alias("child"), b.cast("long").alias("parent"))
+
+    edges = (
+        edge(k, k + 10).union(edge(k + 1, k + 10))
+        .union(edge(k + 10, k + 11)).union(edge(k + 2, k + 11))
+        .union(edge(k + 11, k + 12)).union(edge(k, k + 12))
+    )
+    return evaluate_expressions(nodes, edges)
+
+
+SQL_EVAL_CONST_FOLD = """
+WITH k AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 50 = 0)
+SELECT node_id, CAST(value AS DOUBLE) AS value FROM (
+  SELECT k AS node_id, k % 7 AS value FROM k
+  UNION ALL SELECT k + 1, k % 5 FROM k
+  UNION ALL SELECT k + 2, 2 FROM k
+  UNION ALL SELECT k + 10, (k % 7) + (k % 5) FROM k
+  UNION ALL SELECT k + 11, ((k % 7) + (k % 5)) * 2 FROM k
+  UNION ALL SELECT k + 12, greatest(((k % 7) + (k % 5)) * 2, k % 7) FROM k
+)
+"""
+
+
+_DFG_PROBES = ["1", "a1b", "aa1bb", "aa1b", "a1", "1b", "", "ab1", "b1a", "11"]
+
+
+def q_sa_dfg_grammar(spark, sf_dir):
+    """The full createGrammar chain through the driver gate: per nation,
+    plant the string-building DFG x = "1" | "a" + x + "b" (language
+    aⁿ1bⁿ), slice it into productions (productions_from_dfg), approximate
+    (Mohri-Nederhof), synthesize the regex, probe. Expected MN closure:
+    exactly a*1b* — the oracle hardcodes that ground truth."""
+    from .operators import stringapprox
+
+    nation = t(spark, sf_dir, "nation")
+    base = F.col("n_nationkey").cast("long") * 100
+    hid = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+
+    def node(off, kind, text):
+        return nation.select(
+            (base + off).alias("node_id"), F.lit(kind).alias("kind"),
+            (F.lit(text).cast("string") if text is not None else F.lit(None).cast("string")).alias("text"),
+        )
+
+    nodes = (
+        node(0, "lit", "a").union(node(1, "lit", "b")).union(node(2, "lit", "1"))
+        .union(node(3, "phi", None)).union(node(4, "concat", None))
+        .union(node(5, "concat", None))
+    )
+
+    def edge(c, p, pos):
+        return nation.select(
+            (base + c).alias("child"), (base + p).alias("parent"),
+            F.lit(pos).cast("int").alias("pos"),
+        )
+
+    edges = (
+        edge(2, 3, 0).union(edge(5, 3, 1))
+        .union(edge(0, 4, 0)).union(edge(3, 4, 1))
+        .union(edge(4, 5, 0)).union(edge(1, 5, 1))
+    )
+    hotspots = nation.select(hid.alias("hotspot_id"), (base + 3).alias("node_id"))
+    prods = stringapprox.productions_from_dfg(nodes, edges, hotspots)
+    pats = stringapprox.grammar_patterns(prods)
+    probes = spark.createDataFrame([(p,) for p in _DFG_PROBES], "probe string")
+    return pats.crossJoin(F.broadcast(probes)).select(
+        "hotspot_id",
+        "probe",
+        F.expr("probe RLIKE concat('^(?:', regex, ')$')").alias("accepted"),
+    )
+
+
+_DFG_PROBE_LIST = ", ".join(f"'{p}'" for p in _DFG_PROBES)
+
+SQL_SA_DFG_GRAMMAR = f"""
+SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS hotspot_id, probe,
+       regexp_full_match(probe, 'a*1b*') AS accepted
+FROM nation
+CROSS JOIN (SELECT unnest([{_DFG_PROBE_LIST}]) AS probe)
+"""
+
+
 # ---------------------------------------------------------------------------
 # 4. text analysis
 
@@ -1509,6 +1626,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kg_doc_cooccur": (q_kg_doc_cooccur, SQL_KG_DOC_COOCCUR),
     # string-approximation chain
     "sa_grammar_accept": (q_sa_grammar_accept, SQL_SA_GRAMMAR_ACCEPT),
+    "sa_dfg_grammar": (q_sa_dfg_grammar, SQL_SA_DFG_GRAMMAR),
+    "eval_const_fold": (q_eval_const_fold, SQL_EVAL_CONST_FOLD),
     # text analysis
     "ts_token_stats": (q_ts_token_stats, SQL_TS_TOKEN_STATS),
     "ts_quality": (q_ts_quality, SQL_TS_QUALITY),

@@ -1,0 +1,80 @@
+"""Data-level constant folding (ValueEvaluator analog) and the full
+createGrammar chain: DFG slice -> productions -> MN approximation ->
+regex."""
+
+from __future__ import annotations
+
+import re
+
+import pytest  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from cpg_spark.operators.evaluate import evaluate_expressions
+from cpg_spark.operators.stringapprox import grammar_patterns, productions_from_dfg
+
+
+def test_evaluate_expressions_folds_dag(spark):
+    nodes = spark.createDataFrame(
+        [
+            (0, "lit", 3.0, None), (1, "lit", 4.0, None), (2, "lit", 2.0, None),
+            (10, "op", None, "add"),   # 3 + 4 = 7
+            (11, "op", None, "mul"),   # 7 * 2 = 14
+            (12, "op", None, "max"),   # max(14, 3) = 14
+            (13, "op", None, "neg"),   # -(14) = -14
+        ],
+        "node_id long, kind string, value double, op string",
+    )
+    edges = spark.createDataFrame(
+        [(0, 10), (1, 10), (10, 11), (2, 11), (11, 12), (0, 12), (12, 13)],
+        "child long, parent long",
+    )
+    got = {r["node_id"]: r["value"] for r in evaluate_expressions(nodes, edges).collect()}
+    assert got == {0: 3.0, 1: 4.0, 2: 2.0, 10: 7.0, 11: 14.0, 12: 14.0, 13: -14.0}
+
+
+def test_evaluate_expressions_unresolvable_absent(spark):
+    """An op fed by a cycle (or missing input) never evaluates — the
+    reference's cannot-evaluate result, not a wrong value."""
+    nodes = spark.createDataFrame(
+        [(0, "lit", 1.0, None), (10, "op", None, "add"), (11, "op", None, "add")],
+        "node_id long, kind string, value double, op string",
+    )
+    # 10 <-> 11 feed each other; both also take the literal
+    edges = spark.createDataFrame(
+        [(0, 10), (11, 10), (10, 11)], "child long, parent long"
+    )
+    got = {r["node_id"]: r["value"] for r in evaluate_expressions(nodes, edges).collect()}
+    assert got == {0: 1.0}
+
+
+def test_dfg_to_grammar_chain(spark):
+    """The reference flagship end to end (createGrammar ->
+    RegularApproximation -> regex): a string-building DFG for
+    x = "1" | "a" + x + "b" (language a^n 1 b^n) slices into a grammar
+    whose MN approximation is exactly a*1b*."""
+    nodes = spark.createDataFrame(
+        [
+            (0, "lit", "a"), (1, "lit", "b"), (2, "lit", "1"),
+            (3, "phi", None),      # x
+            (4, "concat", None),   # "a" + x
+            (5, "concat", None),   # ("a" + x) + "b"
+        ],
+        "node_id long, kind string, text string",
+    )
+    edges = spark.createDataFrame(
+        [
+            (2, 3, 0), (5, 3, 1),          # x = "1" | node5
+            (0, 4, 0), (3, 4, 1),          # node4 = "a" + x
+            (4, 5, 0), (1, 5, 1),          # node5 = node4 + "b"
+        ],
+        "child long, parent long, pos int",
+    )
+    hotspots = spark.createDataFrame([("h", 3)], "hotspot_id string, node_id long")
+    prods = productions_from_dfg(nodes, edges, hotspots)
+    out = grammar_patterns(prods).collect()
+    assert len(out) == 1 and out[0]["was_approximated"] is True
+    rx = out[0]["regex"]
+    for good in ["1", "a1b", "aa1bb", "aa1b", "a1", "1b"]:
+        assert re.fullmatch(rx, good), good
+    for bad in ["", "ab1", "b1a", "a", "11"]:
+        assert not re.fullmatch(rx, bad), bad
