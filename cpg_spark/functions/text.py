@@ -93,6 +93,51 @@ def extract_text_col(html: Column) -> Column:
     return body
 
 
+# --- markdown frontend (second per-format parser) ---------------------------
+#
+# The reference registers one frontend per language (Language.kt) and the
+# compilation database supplies per-file parse config; here the per-row
+# content_type column selects the frontend. Markdown extraction: drop
+# heading/emphasis/code markers, collapse links to their text.
+
+_MD_LINK_RE = re.compile(r"\[([^\]]*)\]\([^)]*\)")
+_MD_HEAD_RE = re.compile(r"(?m)^#{1,6}[ \t]+")
+_MD_MARK_RE = re.compile(r"[*_`]+")
+
+
+def extract_text_md_py(raw: bytes) -> str:
+    """Markdown reference extraction (python twin for golden fixtures)."""
+    s = raw.decode("utf-8")
+    s = _MD_LINK_RE.sub(r"\1", s)
+    s = _MD_HEAD_RE.sub("", s)
+    s = _MD_MARK_RE.sub("", s)
+    return s
+
+
+def extract_text_md_col(raw: Column) -> Column:
+    """JVM-side markdown extraction, byte-identical to extract_text_md_py."""
+    s = F.decode(raw, "UTF-8")
+    s = F.regexp_replace(s, r"\[([^\]]*)\]\([^)]*\)", r"$1")
+    s = F.regexp_replace(s, r"(?m)^#{1,6}[ \t]+", "")
+    s = F.regexp_replace(s, r"[*_`]+", "")
+    return s
+
+
+def extract_text_dispatch(raw: Column, content_type: Column) -> Column:
+    """Per-row frontend dispatch — the Language-registry + per-file
+    compilation-db-config analog (reference Language.kt frontend lookup;
+    the compilation database carries per-file parse flags, here a
+    content_type column on every page row). One F.when chain, all
+    branches codegen'd in the same pass: dispatch adds no shuffle and no
+    second scan. Unknown types fall back to plain decode (skip-don't-fail,
+    TranslationManager.kt:347-351)."""
+    return (
+        F.when(content_type == "text/html", extract_text_col(raw))
+        .when(content_type == "text/markdown", extract_text_md_col(raw))
+        .otherwise(F.decode(raw, "UTF-8"))
+    )
+
+
 def sentences_col(text: Column) -> Column:
     """array<string> of sentences (empty strings filtered out)."""
     return F.filter(

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import extract_text_col, sentences_col
+from ..functions.text import extract_text_col, extract_text_dispatch, sentences_col
 from ..synth import MENTION_REGEX, TARGET_LANGS
 
 
@@ -22,10 +22,17 @@ def extracted_text(pages: DataFrame) -> DataFrame:
 
     Byte-identical per url to the page's original text (BASELINE.json
     per-row invariant) — golden-tested in tests/test_extract.py.
+
+    If the pages table carries a `content_type` column (the per-row
+    parse-config analog of the reference's compilation database), each
+    row is dispatched to its format's frontend (html / markdown / plain);
+    without one, every page takes the html frontend.
     """
-    return pages.select(
-        "url", "lang", extract_text_col(F.col("html")).alias("text")
-    )
+    if "content_type" in pages.columns:
+        text = extract_text_dispatch(F.col("html"), F.col("content_type"))
+    else:
+        text = extract_text_col(F.col("html"))
+    return pages.select("url", "lang", text.alias("text"))
 
 
 def sentences(pages: DataFrame, target_langs: tuple[str, ...] = TARGET_LANGS) -> DataFrame:

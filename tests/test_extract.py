@@ -99,3 +99,51 @@ def test_malformed_bytes_do_not_kill_the_job(spark):
     texts = [r["t"] for r in rows]
     assert "ok" in texts
     assert all(t is None or "garbage" not in t or t == "" for t in texts)
+
+
+# --- multi-frontend dispatch (Language registry + compilation-db config) ------
+
+from cpg_spark.functions.text import (  # noqa: E402
+    extract_text_md_col,
+    extract_text_md_py,
+)
+from cpg_spark.operators.extract import extracted_text  # noqa: E402
+
+MD_DOC = (
+    "# Title here\n\n"
+    "Some *emphasized* text with a [link label](http://x.test/a) and "
+    "`code` marks.\n\n## Sub **bold** heading\nplain tail"
+)
+
+
+def test_markdown_frontend_twins_byte_identical(spark):
+    """JVM markdown extraction must equal the python twin byte for byte
+    (the per-frontend golden contract)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(MD_DOC.encode(),)], "raw binary")
+    got = df.select(extract_text_md_col(F.col("raw")).alias("t")).collect()[0]["t"]
+    exp = extract_text_md_py(MD_DOC.encode())
+    assert got == exp
+    assert "link label" in got and "http" not in got
+    assert "#" not in got and "*" not in got and "`" not in got
+
+
+def test_extracted_text_dispatches_per_row(spark):
+    """Rows route to their format's frontend by the content_type config
+    column; unknown types fall back to plain decode (skip, don't fail)."""
+    from cpg_spark.synth import page_html
+
+    html = page_html("hello <world> & co. more text.", "en", "t")
+    rows = [
+        ("u1", "en", html, "text/html"),
+        ("u2", "en", MD_DOC.encode(), "text/markdown"),
+        ("u3", "en", b"just plain bytes.", "application/octet-stream"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, lang string, html binary, content_type string"
+    )
+    got = {r["url"]: r["text"] for r in extracted_text(df).collect()}
+    assert got["u1"] == "hello <world> & co. more text."
+    assert got["u2"] == extract_text_md_py(MD_DOC.encode())
+    assert got["u3"] == "just plain bytes."
