@@ -434,6 +434,55 @@ SELECT node, CAST(MIN(hops) AS INT) AS hops FROM r GROUP BY node
 """
 
 
+def q_link_fptr_calls(spark, sf_dir):
+    """FunctionPointerCallResolver composed end to end (reference
+    FunctionPointerCallResolver.kt: follow DFG edges backward from the
+    call until function declarations are hit, then link the call to
+    them): BFS over the planted DFG from each call site, then join the
+    reached frontier against the function table. Call sites = every
+    300th key; functions live at block offsets 10 and 20; blocks are
+    50-wide and disjoint, so a reached node's block identifies its site."""
+    cust = t(spark, sf_dir, "customer")
+    k, m = F.col("c_custkey"), F.col("c_custkey") % 50
+    step1 = cust.filter(m != 49).select(k.alias("src"), (k + 1).alias("dst"))
+    step5 = cust.filter(m <= 44).select(k.alias("src"), (k + 5).alias("dst"))
+    edges = step1.union(step5)
+    seeds = cust.filter(k % 300 == 0).select(k.alias("node"))
+    reached = canonicalize.bfs_reach(edges, seeds, max_hops=15)
+    functions = cust.filter(m.isin(10, 20)).select(
+        k.alias("node"),
+        F.concat(F.lit("f"), m.cast("string")).alias("fname"),
+    )
+    return reached.join(functions, "node").select(
+        (F.floor(F.col("node") / 50) * 50).cast("bigint").alias("call_site"),
+        F.col("node").alias("target"),
+        "fname",
+        F.col("hops").cast("int").alias("hops"),
+    )
+
+
+SQL_LINK_FPTR_CALLS = """
+WITH RECURSIVE e AS (
+  SELECT c_custkey AS src, c_custkey + 1 AS dst FROM customer WHERE c_custkey % 50 != 49
+  UNION ALL
+  SELECT c_custkey, c_custkey + 5 FROM customer WHERE c_custkey % 50 <= 44
+), r AS (
+  SELECT c_custkey AS node, 0 AS hops FROM customer WHERE c_custkey % 300 = 0
+  UNION
+  SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.node
+), reach AS (
+  SELECT node, MIN(hops) AS hops FROM r GROUP BY node
+)
+SELECT CAST(floor(f.c_custkey / 50) * 50 AS BIGINT) AS call_site,
+       f.c_custkey AS target,
+       'f' || CAST(f.c_custkey % 50 AS VARCHAR) AS fname,
+       CAST(reach.hops AS INT) AS hops
+FROM customer f
+JOIN reach ON reach.node = f.c_custkey
+WHERE f.c_custkey % 50 IN (10, 20)
+"""
+
+
 def q_eog_reach_live(spark, sf_dir):
     """UnreachableEOGPass end to end (reference UnreachableEOGPass.kt:
     43-80 + the skip in ControlFlowSensitiveDFGPass.kt:211-213): build a
@@ -640,6 +689,52 @@ wild AS (
 )
 SELECT DISTINCT importer, owner, member FROM (
   SELECT * FROM exact UNION ALL SELECT * FROM wild)
+"""
+
+
+def q_dfg_reaching_defs(spark, sf_dir):
+    """ControlFlowSensitiveDFGPass analog end to end (reference
+    ControlFlowSensitiveDFGPass.kt — per-function worklist fixpoint over
+    the EOG, skipping edges UnreachableEOGPass flagged dead): per 50-key
+    block s, function s has blocks s..s+3 with a loop
+    (s→s+1→s+2→s+1, s+1→s+3); x is defined in s (def s) and in the loop
+    body s+2 (def s+2); the back edge is flagged unreachable for odd
+    blocks. Expected reaching sets: def s reaches b1..b3 always; def s+2
+    reaches them only where the back edge is live. Oracle = closed form."""
+    from .operators.dataflow import reaching_definitions
+
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 50 == 0)
+    s = F.col("c_custkey")
+    falsec = F.lit(False)
+    back_dead = (F.floor(s / 50) % 2 == 1).alias("unreachable")
+
+    def edge(a, b, unreachable):
+        return cust.select(
+            s.alias("func_id"), a.alias("src_block"), b.alias("dst_block"),
+            unreachable if not isinstance(unreachable, bool) else falsec.alias("unreachable"),
+        )
+
+    edges = (
+        edge(s, s + 1, False)
+        .union(edge(s + 1, s + 2, False))
+        .union(edge(s + 2, s + 1, back_dead))
+        .union(edge(s + 1, s + 3, False))
+    )
+    defs = cust.select(
+        s.alias("func_id"), s.alias("block_id"), F.lit("x").alias("var"),
+        s.alias("def_id"),
+    ).union(
+        cust.select(s, (s + 2), F.lit("x"), (s + 2))
+    )
+    return reaching_definitions(edges, defs)
+
+
+SQL_DFG_REACHING_DEFS = """
+WITH f AS (SELECT c_custkey AS s FROM customer WHERE c_custkey % 50 = 0),
+blocks AS (SELECT s, unnest([s + 1, s + 2, s + 3]) AS b FROM f)
+SELECT s AS func_id, b AS block_id, 'x' AS var, s AS def_id FROM blocks
+UNION ALL
+SELECT s, b, 'x', s + 2 FROM blocks WHERE (s // 50) % 2 = 0
 """
 
 
@@ -1609,6 +1704,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "canon_scc": (q_canon_scc, SQL_CANON_SCC),
     "reach_bfs": (q_reach_bfs, SQL_REACH_BFS),
     "eog_reach_live": (q_eog_reach_live, SQL_EOG_REACH_LIVE),
+    "link_fptr_calls": (q_link_fptr_calls, SQL_LINK_FPTR_CALLS),
+    "dfg_reaching_defs": (q_dfg_reaching_defs, SQL_DFG_REACHING_DEFS),
     "events_order_check": (q_events_order_check, SQL_EVENTS_ORDER_CHECK),
     "qt_forall_witness": (q_qt_forall_witness, SQL_QT_FORALL_WITNESS),
     "eog_order_edges": (q_eog_order_edges, SQL_EOG_ORDER_EDGES),
