@@ -185,6 +185,97 @@ def ivf_assign(
     )
 
 
+def _nearest_literal_centroid(
+    e: Column, centroids: list[list[float]], dim: int
+) -> Column:
+    """argmin_cell squared-L2(e, centroid) with centroids as literals —
+    sum((x_d - c_d)^2) unrolled into plain column arithmetic (dim is
+    small and fixed; unrolled math stays in codegen where an HOF over a
+    literal array would be interpreted). Ties break to the lower cell."""
+    dists = []
+    for ci, c in enumerate(centroids):
+        terms = [
+            (F.element_at(e, d + 1).cast("double") - F.lit(c[d])) ** 2
+            for d in range(dim)
+        ]
+        d2 = terms[0]
+        for t in terms[1:]:
+            d2 = d2 + t
+        dists.append(F.struct(d2.alias("d"), F.lit(ci).alias("cell")))
+    return F.array_min(F.array(*dists)).getField("cell")
+
+
+def ivf_assign_fitted(
+    emb: DataFrame, centroids: list[list[float]], dim: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """IVF assignment against FITTED (literal) centroids — the probe-side
+    partner of kmeans_fit (ivf_assign's variant for centroids that are
+    not corpus vectors). Returns (vec_id, cell). Pure map."""
+    return emb.select(
+        id_col,
+        _nearest_literal_centroid(F.col("embedding"), centroids, dim).alias("cell"),
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int,
+    dim: int,
+    n_iter: int = 5,
+    seed_ids: list[int] | None = None,
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means over the embedding column — the IVF
+    training step (ivf_assign consumes the result as its centroid set).
+
+    Each iteration is two DataFrame jobs, both scale-safe:
+      assignment — centroids enter as broadcast literals (k·dim doubles,
+        driver-small by definition), distance argmin via a combinable
+        min(struct(dist, cell)) aggregation — no window, no shuffle of
+        the big side beyond the final per-vector min;
+      update — posexplode to (cell, dim_idx, val) then a map-side
+        combinable avg per (cell, dim_idx); k·dim result rows collect to
+        the driver for the next round's literals.
+
+    Deterministic: init = the vectors with ids `seed_ids` (default: the
+    k smallest ids); fixed n_iter (no data-dependent stopping), so the
+    same input gives the same centroids at any parallelism. Empty cells
+    keep their previous centroid. Returns the centroids as plain lists
+    (broadcast-literal sized)."""
+    if seed_ids is None:
+        seed_ids = [
+            r[0]
+            for r in emb.select(id_col).orderBy(id_col).limit(k).collect()
+        ]
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col(id_col).isin(seed_ids))
+        .orderBy(id_col)
+        .select("embedding")
+        .collect()
+    ]
+    assert len(cents) == k, "seed ids must exist"
+    e = F.col("embedding")
+    for _ in range(n_iter):
+        # squared-L2 distance to each centroid, as literal-folded exprs
+        assigned = emb.select(
+            _nearest_literal_centroid(e, cents, dim).alias("cell"), "embedding"
+        )
+        sums = (
+            assigned.select(
+                "cell", F.posexplode(e).alias("dim_idx", "val")
+            )
+            .groupBy("cell", "dim_idx")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]
+        for r in sums:
+            new_cents[r["cell"]][r["dim_idx"]] = float(r["m"])
+        cents = new_cents
+    return cents
+
+
 def bucketed_topk(
     emb: DataFrame,
     dim: int,

@@ -1665,6 +1665,73 @@ QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score_raw DESC, cell) = 
 """
 
 
+def q_sim_bucketed_topk(spark, sf_dir):
+    """IVF-probe shape: exact top-k confined to each LSH bucket (the ANN
+    scale path — the self-join never leaves a bucket)."""
+    return similarity.bucketed_topk(
+        t_par(spark, sf_dir, "embeddings"), dim=_EMB_DIM, k=3, nbits=8
+    )
+
+
+SQL_SIM_BUCKETED_TOPK = f"""
+WITH b AS (
+  SELECT vec_id, {{bucket}} AS bucket,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS q_id, x.vec_id AS neighbor_id,
+         {_dot_sql('q.emb', 'x.emb')} / ({_norm_sql('q.emb')} * {_norm_sql('x.emb')}) AS score_raw
+  FROM b q JOIN b x ON q.bucket = x.bucket AND q.vec_id != x.vec_id
+)
+SELECT q_id,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY score_raw DESC, neighbor_id) AS INT) AS rank,
+       neighbor_id, score_raw AS score
+FROM scored
+QUALIFY rank <= 3
+""".replace("{bucket}", _lsh_bucket_expr(8))
+
+
+def q_sim_ivf_kmeans(spark, sf_dir):
+    """The trained IVF path: Lloyd's k-means fit (deterministic seeds,
+    fixed iterations — iterative, hence no SQL oracle; the driver records
+    the rows-only check) followed by literal-centroid cell assignment.
+    Completes ivf_assign's 'centroids from a k-means fit' story."""
+    emb = t_par(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_fit(
+        emb, k=4, dim=_EMB_DIM, n_iter=3, seed_ids=[0, 1, 2, 3]
+    )
+    return similarity.ivf_assign_fitted(emb, cents, dim=_EMB_DIM)
+
+
+def q_eog_borders(spark, sf_dir):
+    """SubgraphWalker.getEOGPathEdges analog (reference
+    SubgraphWalker.java:193-231 computes a subgraph's entry/exit border):
+    per order, the first and last part in EOG order plus path length —
+    one combinable aggregation, no window."""
+    li = t(spark, sf_dir, "lineitem")
+    key = F.struct("l_linenumber", "l_partkey", "l_suppkey")
+    return li.groupBy(F.col("l_orderkey").alias("order_key")).agg(
+        F.min(key).getField("l_partkey").alias("entry_part"),
+        F.max(key).getField("l_partkey").alias("exit_part"),
+        F.count(F.lit(1)).alias("path_len"),
+    )
+
+
+SQL_EOG_BORDERS = """
+SELECT order_key, entry_part, exit_part, path_len FROM (
+  SELECT l_orderkey AS order_key,
+         first_value(l_partkey) OVER w AS entry_part,
+         last_value(l_partkey) OVER (
+           PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS exit_part,
+         COUNT(*) OVER (PARTITION BY l_orderkey) AS path_len,
+         row_number() OVER w AS rn
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey)
+) WHERE rn = 1
+"""
+
+
 def q_mm_payload_meta(spark, sf_dir):
     """Opaque-binary column plumbing: payload bytes + typed metadata
     (byte length, content hash). The decode/feature-extract UDF path is
@@ -1744,6 +1811,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
     "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
     "sim_ivf_assign": (q_sim_ivf_assign, SQL_SIM_IVF_ASSIGN),
+    "sim_bucketed_topk": (q_sim_bucketed_topk, SQL_SIM_BUCKETED_TOPK),
+    "sim_ivf_kmeans": (q_sim_ivf_kmeans, None),
+    "eog_borders": (q_eog_borders, SQL_EOG_BORDERS),
     # multimodal plumbing
     "mm_payload_meta": (q_mm_payload_meta, SQL_MM_PAYLOAD_META),
 }

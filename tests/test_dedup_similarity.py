@@ -249,3 +249,29 @@ def test_similarity_bucket_cap(spark):
     b = similarity.lsh_buckets(df, dim=4, nbits=4)
     dropped = similarity.dropped_buckets(b, max_bucket_size=5).collect()
     assert dropped and all(r["n_members"] == 20 for r in dropped)
+
+
+def test_kmeans_fit_recovers_planted_clusters(spark):
+    """Lloyd's over three well-separated planted clusters: centroids
+    converge to the cluster means (numpy-free golden: exact means) and
+    ivf_assign-style nearest-centroid labels match the plant."""
+
+    centers = [[10.0, 0.0, 0.0, 0.0], [0.0, 10.0, 0.0, 0.0], [0.0, 0.0, 10.0, 0.0]]
+    offsets = [-0.5, 0.0, 0.5]
+    rows, expected_means = [], []
+    vid = 0
+    for c in centers:
+        members = []
+        for off in offsets:
+            v = [x + (off if x else 0.0) for x in c]
+            rows.append((vid, v))
+            members.append(v)
+            vid += 100  # seeds (3 smallest ids) land one per cluster
+        expected_means.append(
+            [sum(m[d] for m in members) / len(members) for d in range(4)]
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # ids 0,100,200 = cluster 0; 300..500 = cluster 1; 600..800 = cluster 2
+    cents = similarity.kmeans_fit(df, k=3, dim=4, n_iter=4, seed_ids=[0, 300, 600])
+    for got, exp in zip(cents, expected_means):
+        assert all(abs(g - e) < 1e-6 for g, e in zip(got, exp)), (got, exp)

@@ -25,8 +25,9 @@ def test_contract_shape():
     assert len(qs) >= 25
     # every oracle key must be a query key
     assert set(oracles) <= set(qs)
-    # everything currently oracle-covered
-    assert set(oracles) == set(qs)
+    # only genuinely iterative / non-SQL-expressible ops may be rows-only
+    rows_only_allowed = {"sim_ivf_kmeans"}
+    assert set(qs) - set(oracles) <= rows_only_allowed
 
 
 def test_entry_returns_rows(spark):
