@@ -241,11 +241,17 @@ def jaccard_for_pairs(
         .distinct()
     )
     if max_doc_freq is None:
-        sets = docs.select(
-            "doc_id",
-            F.array_distinct(shingle_hash_array(F.col("text"), n)).alias("shs"),
-        ).filter(F.size("shs") > 0)
-        sets = sets.join(cand_ids, "doc_id", "left_semi")
+        # semi-join BEFORE the shingle kernel: only candidate docs pay
+        # for tokenize+hash (written explicitly — the optimizer won't
+        # hoist a join above an expensive projection on its own)
+        sets = (
+            docs.join(cand_ids, "doc_id", "left_semi")
+            .select(
+                "doc_id",
+                F.array_distinct(shingle_hash_array(F.col("text"), n)).alias("shs"),
+            )
+            .filter(F.size("shs") > 0)
+        )
     else:
         idx = shingle_index(docs, n).drop("lang")
         idx = (
