@@ -1241,6 +1241,74 @@ SELECT node_id, CAST(value AS DOUBLE) AS value FROM (
 """
 
 
+def q_eval_multi_sets(spark, sf_dir):
+    """MultiValueEvaluator analog (reference MultiValueEvaluator.kt:43-60
+    — multi-path definitions yield a ConcreteNumberSet): planted DAG per
+    50-key block s: phi(s+10) = {s%5, 2}, add(s+11) = phi + {3}. Sets are
+    emitted as sorted CSV so the oracle compares exactly (set dedup when
+    s%5 == 2 included)."""
+    from .operators.evaluate import evaluate_expression_sets
+
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 50 == 0)
+    s = F.col("c_custkey")
+    nulld, nulls = F.lit(None).cast("double"), F.lit(None).cast("string")
+
+    def lit_node(nid, val):
+        return cust.select(
+            nid.cast("long").alias("node_id"), F.lit("lit").alias("kind"),
+            val.cast("double").alias("value"), nulls.alias("op"),
+        )
+
+    def op_node(nid, op):
+        return cust.select(
+            nid.cast("long").alias("node_id"), F.lit("op").alias("kind"),
+            nulld.alias("value"), F.lit(op).alias("op"),
+        )
+
+    nodes = (
+        lit_node(s, s % 5)
+        .union(lit_node(s + 1, F.lit(2)))
+        .union(lit_node(s + 2, F.lit(3)))
+        .union(op_node(s + 10, "phi"))
+        .union(op_node(s + 11, "add"))
+    )
+
+    def edge(a, b, pos):
+        return cust.select(
+            a.cast("long").alias("child"), b.cast("long").alias("parent"),
+            F.lit(pos).cast("int").alias("pos"),
+        )
+
+    edges = (
+        edge(s, s + 10, 0).union(edge(s + 1, s + 10, 1))
+        .union(edge(s + 10, s + 11, 0)).union(edge(s + 2, s + 11, 1))
+    )
+    out = evaluate_expression_sets(nodes, edges)
+    return out.select(
+        "node_id",
+        F.array_join(
+            F.transform(F.col("vals"), lambda v: v.cast("string")), ","
+        ).alias("vals_csv"),
+        "truncated",
+    )
+
+
+SQL_EVAL_MULTI_SETS = """
+WITH k AS (SELECT c_custkey AS s FROM customer WHERE c_custkey % 50 = 0),
+rows AS (
+  SELECT s AS node_id, [CAST(s % 5 AS DOUBLE)] AS vals FROM k
+  UNION ALL SELECT s + 1, [CAST(2 AS DOUBLE)] FROM k
+  UNION ALL SELECT s + 2, [CAST(3 AS DOUBLE)] FROM k
+  UNION ALL SELECT s + 10, list_sort(list_distinct([CAST(s % 5 AS DOUBLE), 2.0])) FROM k
+  UNION ALL SELECT s + 11, list_sort(list_distinct([CAST(s % 5 + 3 AS DOUBLE), 5.0])) FROM k
+)
+SELECT node_id,
+       array_to_string(list_transform(vals, v -> CAST(v AS VARCHAR)), ',') AS vals_csv,
+       FALSE AS truncated
+FROM rows
+"""
+
+
 _DFG_PROBES = ["1", "a1b", "aa1bb", "aa1b", "a1", "1b", "", "ab1", "b1a", "11"]
 
 
@@ -1792,6 +1860,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sa_grammar_accept": (q_sa_grammar_accept, SQL_SA_GRAMMAR_ACCEPT),
     "sa_dfg_grammar": (q_sa_dfg_grammar, SQL_SA_DFG_GRAMMAR),
     "eval_const_fold": (q_eval_const_fold, SQL_EVAL_CONST_FOLD),
+    "eval_multi_sets": (q_eval_multi_sets, SQL_EVAL_MULTI_SETS),
     # text analysis
     "ts_token_stats": (q_ts_token_stats, SQL_TS_TOKEN_STATS),
     "ts_quality": (q_ts_quality, SQL_TS_QUALITY),

@@ -78,3 +78,50 @@ def test_dfg_to_grammar_chain(spark):
         assert re.fullmatch(rx, good), good
     for bad in ["", "ab1", "b1a", "a", "11"]:
         assert not re.fullmatch(rx, bad), bad
+
+
+def test_evaluate_sets_phi_and_pairwise(spark):
+    """MultiValueEvaluator analog: phi unions the possible values; a
+    binary op combines pairwise across both input sets."""
+    from cpg_spark.operators.evaluate import evaluate_expression_sets
+
+    nodes = spark.createDataFrame(
+        [
+            (0, "lit", 1.0, None), (1, "lit", 2.0, None), (2, "lit", 10.0, None),
+            (10, "op", None, "phi"),   # {1, 2}
+            (11, "op", None, "add"),   # {1,2} + {10} = {11, 12}
+            (12, "op", None, "mul"),   # {11,12} * {1,2} = {11,12,22,24}
+        ],
+        "node_id long, kind string, value double, op string",
+    )
+    edges = spark.createDataFrame(
+        [
+            (0, 10, 0), (1, 10, 1),
+            (10, 11, 0), (2, 11, 1),
+            (11, 12, 0), (10, 12, 1),
+        ],
+        "child long, parent long, pos int",
+    )
+    got = {r["node_id"]: (list(r["vals"]), r["truncated"])
+           for r in evaluate_expression_sets(nodes, edges).collect()}
+    assert got[10] == ([1.0, 2.0], False)
+    assert got[11] == ([11.0, 12.0], False)
+    assert got[12] == ([11.0, 12.0, 22.0, 24.0], False)
+
+
+def test_evaluate_sets_cap_is_flagged(spark):
+    """Bounded exploration: the set caps at max_set_size and the
+    truncated flag reports it (never silent)."""
+    from cpg_spark.operators.evaluate import evaluate_expression_sets
+
+    lits = [(i, "lit", float(i), None) for i in range(6)]
+    nodes = spark.createDataFrame(
+        lits + [(10, "op", None, "phi")],
+        "node_id long, kind string, value double, op string",
+    )
+    edges = spark.createDataFrame(
+        [(i, 10, i) for i in range(6)], "child long, parent long, pos int"
+    )
+    got = {r["node_id"]: (list(r["vals"]), r["truncated"])
+           for r in evaluate_expression_sets(nodes, edges, max_set_size=4).collect()}
+    assert got[10] == ([0.0, 1.0, 2.0, 3.0], True)
