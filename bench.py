@@ -28,6 +28,8 @@ HEADLINE = [
     "eog_order_edges",
     "cooccur_parts",
     "events_sessions",
+    "link_scope_chain",
+    "dfg_reaching_defs",
     "kg_doc_cooccur",
     "ts_fingerprint",
     "dd_minhash",
