@@ -104,12 +104,21 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
-    pages = spark.read.parquet(pages_path)
+    # cap the map-stage concurrency at 8: this VM's memory bandwidth
+    # peaks near 8 streaming workers (BENCH/BASELINE.md) — 64 partitions
+    # on local[32] thrash it (measured 25k vs 46k triples/s). On a real
+    # cluster each executor brings its own bandwidth and the scan's
+    # natural splits set the width.
+    pages = spark.read.parquet(pages_path).coalesce(8)
     adict = alias_dict_df(spark)
-    t0 = time.monotonic()
-    agg = kg_chain(spark, pages, adict)
-    n_triples = agg.count()
-    kg_sec = round(time.monotonic() - t0, 3)
+    kg_sec = float("inf")
+    for _ in range(2):  # min of 2, same as the headline queries
+        t0 = time.monotonic()
+        agg = kg_chain(spark, pages, adict)
+        n_triples = agg.count()
+        kg_sec = min(kg_sec, time.monotonic() - t0)
+        spark.catalog.clearCache()
+    kg_sec = round(kg_sec, 3)
     timings["kg_pipeline"] = kg_sec
 
     total = round(sum(timings.values()), 3)
