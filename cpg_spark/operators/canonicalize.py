@@ -15,20 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _ckpt(df: DataFrame, checkpoint_dir: str | None, eager: bool = True) -> DataFrame:
-    """Iteration-truncation checkpoint. localCheckpoint stores blocks on
-    executors — fine in local mode, but on a real cluster an executor
-    loss mid-loop kills the job (no lineage left to recompute from).
-    Passing checkpoint_dir switches every loop below to reliable
-    checkpoint() against that (HDFS/object-store) path — the cluster
-    setting."""
-    if checkpoint_dir is None:
-        return df.localCheckpoint(eager=eager)
-    sc = df.sparkSession.sparkContext
-    if sc._jsc.sc().getCheckpointDir().isEmpty():  # set once per context
-        sc.setCheckpointDir(checkpoint_dir)
-    return df.checkpoint(eager=eager)
+from .iterutil import ckpt as _ckpt  # shared reliable-checkpoint switch
 
 
 def _checksum(df: DataFrame) -> tuple[int, int]:

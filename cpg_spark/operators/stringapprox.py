@@ -46,7 +46,11 @@ PATTERN_SCHEMA = StructType(
 )
 
 # one production per row; symbols are ('t', literal) / ('n', nt id-as-string),
-# epsilon = both kinds NULL; nt 0 is the start/hotspot nonterminal
+# epsilon = both kinds NULL; nt 0 is the start/hotspot nonterminal.
+# OPERATION productions (reference helper/operations/Operations.kt:37-106)
+# encode as s1_kind='o' with s1 = the op spec ("replace:<old>:<new>",
+# "upper", "lower", "trim", "repeat[:<n>]", ...) and s2_kind='n',
+# s2 = the target nonterminal the operation applies to.
 PRODUCTION_SCHEMA = (
     "hotspot_id string, nt long, prod_idx int, "
     "s1_kind string, s1 string, s2_kind string, s2 string"
@@ -59,6 +63,9 @@ GRAMMAR_PATTERN_SCHEMA = StructType(
         StructField("n_productions", IntegerType()),
         StructField("was_approximated", BooleanType()),
         StructField("regex", StringType()),
+        # charset over-approximation bound of the hotspot's language:
+        # the CharSetApproximation fixpoint result (C* pattern)
+        StructField("charset_regex", StringType()),
     ]
 )
 
@@ -135,7 +142,10 @@ def entity_surface_patterns(alias_dict: DataFrame, canon: DataFrame) -> DataFram
 
 
 def productions_from_dfg(
-    nodes: DataFrame, edges: DataFrame, hotspots: DataFrame
+    nodes: DataFrame,
+    edges: DataFrame,
+    hotspots: DataFrame,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """createGrammar analog (reference cpg-analysis grammar creation from
     the backward DFG slice of a hotspot): turn a string-building DFG into
@@ -143,7 +153,11 @@ def productions_from_dfg(
 
     nodes(node_id, kind, text): kind 'lit' (text = literal), 'concat'
     (two incoming args at pos 0/1), 'phi' (alternative definitions — one
-    unit production per incoming edge). edges(child, parent, pos).
+    unit production per incoming edge), 'op' (a string OPERATION call —
+    replace/trim/toLowerCase/toUpperCase/repeat, reference
+    helper/operations/Operations.kt:37-106 — with text = the op spec and
+    ONE incoming edge at pos 0, the receiver the operation applies to).
+    edges(child, parent, pos).
     hotspots(hotspot_id string, node_id): the print/sink nodes whose
     string language we want.
 
@@ -154,20 +168,22 @@ def productions_from_dfg(
     Nonterminals are remapped so the hotspot node is nt 0, the start
     convention grammar_patterns expects; feed the output straight into
     grammar_patterns for approximation + regex synthesis."""
+    from .iterutil import ckpt as _ckpt
+
     rev = edges.select(F.col("parent").alias("r_src"), F.col("child").alias("r_dst"))
     labels = hotspots.select("hotspot_id", F.col("node_id").alias("node"))
     frontier = labels
     for _ in range(64):
-        nxt = (
+        nxt = _ckpt(
             frontier.join(rev, frontier["node"] == rev["r_src"])
             .select("hotspot_id", F.col("r_dst").alias("node"))
             .distinct()
-            .join(labels, ["hotspot_id", "node"], "left_anti")
-            .localCheckpoint(eager=True)
+            .join(labels, ["hotspot_id", "node"], "left_anti"),
+            checkpoint_dir,
         )
         if nxt.isEmpty():
             break
-        labels = labels.unionByName(nxt).localCheckpoint(eager=True)
+        labels = _ckpt(labels.unionByName(nxt), checkpoint_dir)
         frontier = nxt
 
     # nt remap: the hotspot node itself -> 0, every other node -> id + 1
@@ -242,7 +258,29 @@ def productions_from_dfg(
             null_s.alias("s2"),
         )
     )
-    return lit_rows.unionByName(concat_rows).unionByName(phi_rows)
+    # operation nodes: nt -> op(receiver) — the OperationProduction
+    # emission (reference GrammerCreation handles CallExpression ->
+    # createOperationProduction, Operations.kt:37-85); receiver is the
+    # single incoming edge at pos 0
+    op_rows = (
+        member.filter(F.col("kind") == "op")
+        .join(ein, (member["nt"] == ein["parent_nt"]) & (member["hotspot_id"] == ein["hotspot_id"]))
+        .filter(F.col("pos") == 0)
+        .select(
+            member["hotspot_id"].alias("hotspot_id"),
+            F.col("nt"),
+            F.lit(0).cast("int").alias("prod_idx"),
+            F.lit("o").alias("s1_kind"),
+            F.col("text").alias("s1"),
+            F.lit("n").alias("s2_kind"),
+            F.col("child_nt").cast("string").alias("s2"),
+        )
+    )
+    return (
+        lit_rows.unionByName(concat_rows)
+        .unionByName(phi_rows)
+        .unionByName(op_rows)
+    )
 
 
 def _build_grammar(pdf: pd.DataFrame) -> tuple[G.Grammar, dict[int, int]]:
@@ -259,11 +297,18 @@ def _build_grammar(pdf: pd.DataFrame) -> tuple[G.Grammar, dict[int, int]]:
             return None
         if kind == "t":
             return (G.T, val)
+        if kind == "r":
+            return (G.R, val, G.CharSet.anything())
         return (G.N, nt_of(int(val)))
 
     rows = pdf.sort_values(["nt", "prod_idx"]).itertuples(index=False)
     for row in rows:
         nt = nt_of(int(row.nt))
+        if row.s1_kind == "o":
+            # operation production: nt -> op(target) — spec in s1,
+            # target nonterminal in s2 (OperationProduction analog)
+            g.add_prod(nt, ((G.OP, row.s1, nt_of(int(row.s2))),))
+            continue
         symbols = tuple(
             s for s in (sym(row.s1_kind, row.s1), sym(row.s2_kind, row.s2)) if s
         )
@@ -278,23 +323,32 @@ def grammar_patterns(prods: DataFrame) -> DataFrame:
     EndToEndStringPropertyTest.kt:54-90). Input: one production per row
     (PRODUCTION_SCHEMA); nt 0 is the hotspot/start nonterminal.
 
-    Per hotspot: rebuild the grammar, detect cyclic (BOTH-recursive)
-    components, apply the Mohri-Nederhof primed-nonterminal rewriting
-    when needed (was_approximated=True ⇒ the regex is a sound regular
-    OVER-approximation; False ⇒ it is the exact language), synthesize the
-    regex by per-SCC Arden elimination. Grouped map: grammars are small,
-    hotspots are many — parallelism is per hotspot, like the reference's
-    per-hotspot local automata."""
+    Per hotspot the reference's full chain runs
+    (Grammar.approximateToRegularGrammar, helper/Grammar.kt:40-43):
+    (1) charset_approximation — per-SCC character-set fixpoint; breaks
+    OPERATION CYCLES by replacing the highest-priority in-cycle op
+    production with its charset-star bound (CharSetApproximation.kt:
+    40-117); the hotspot's charset bound is exposed as charset_regex;
+    (2) regular_approximation — Mohri-Nederhof rewriting of BOTH-
+    recursive components (was_approximated=True ⇒ the regex is a sound
+    regular OVER-approximation; False ⇒ exact language);
+    (3) per-SCC Arden elimination to a regex, applying operation
+    productions (replace/trim/upper/lower/repeat — Operations.kt:37-106)
+    to their target's finished sub-regex.
+    Grouped map: grammars are small, hotspots are many — parallelism is
+    per hotspot, like the reference's per-hotspot local automata."""
 
     def synth(pdf: pd.DataFrame) -> pd.DataFrame:
         hid = pdf["hotspot_id"].iloc[0]
         g, ids = _build_grammar(pdf)
         start = ids[0]
+        charsets = G.charset_approximation(g)
         approximated = G.regular_approximation(g, hotspots={start})
-        rx = G.grammar_to_regex(g, start)
+        rx = G.grammar_to_regex(g, start, charsets)
+        cs_rx = charsets.get(start, G.CharSet.empty()).to_regex_pattern()
         n_prods = sum(len(ps) for ps in g.prods.values())
         return pd.DataFrame(
-            [(hid, len(g.prods), n_prods, approximated, rx)],
+            [(hid, len(g.prods), n_prods, approximated, rx, cs_rx)],
             columns=[f.name for f in GRAMMAR_PATTERN_SCHEMA.fields],
         )
 

@@ -1368,6 +1368,131 @@ CROSS JOIN (SELECT unnest([{_DFG_PROBE_LIST}]) AS probe)
 """
 
 
+_OPS_PROBES = ["AD-CzAD-Cz", "AD-Cz", "AB-CzAB-Cz", "ad-czad-cz", ""]
+
+
+def q_sa_ops_grammar(spark, sf_dir):
+    """String-OPERATION productions through the full DFG→grammar→regex
+    chain (reference helper/operations/Operations.kt:37-106 recognizes
+    replace/trim/toLowerCase/toUpperCase/repeat calls as operation
+    productions; exercised end to end by
+    EndToEndStringPropertyTest.kt:54-146). Planted DFG per nation:
+    x0="ab-c"; x1=x0.toUpperCase(); x2=x1.replace('B','D');
+    x4=x2+"z"; x5=x4.repeat(2); x6=x5.trim(); hotspot at x6.
+    Closed-form ground truth: upper("ab-c")="AB-C", replace B→D="AD-C",
+    +"z"="AD-Cz", repeat 2 = "AD-CzAD-Cz", trim = identity — the chain
+    is correct iff exactly that one string is accepted."""
+    from .operators import stringapprox
+
+    nation = t(spark, sf_dir, "nation")
+    base = F.col("n_nationkey").cast("long") * 100
+    hid = F.concat(F.lit("op"), F.col("n_nationkey").cast("string"))
+
+    def node(off, kind, text):
+        return nation.select(
+            (base + off).alias("node_id"), F.lit(kind).alias("kind"),
+            (F.lit(text).cast("string") if text is not None else F.lit(None).cast("string")).alias("text"),
+        )
+
+    nodes = (
+        node(0, "lit", "ab-c").union(node(1, "op", "upper"))
+        .union(node(2, "op", "replace:B:D")).union(node(3, "lit", "z"))
+        .union(node(4, "concat", None)).union(node(5, "op", "repeat:2"))
+        .union(node(6, "op", "trim"))
+    )
+
+    def edge(c, p, pos):
+        return nation.select(
+            (base + c).alias("child"), (base + p).alias("parent"),
+            F.lit(pos).cast("int").alias("pos"),
+        )
+
+    edges = (
+        edge(0, 1, 0).union(edge(1, 2, 0))
+        .union(edge(2, 4, 0)).union(edge(3, 4, 1))
+        .union(edge(4, 5, 0)).union(edge(5, 6, 0))
+    )
+    hotspots = nation.select(hid.alias("hotspot_id"), (base + 6).alias("node_id"))
+    prods = stringapprox.productions_from_dfg(nodes, edges, hotspots)
+    pats = stringapprox.grammar_patterns(prods)
+    probes = spark.createDataFrame([(p,) for p in _OPS_PROBES], "probe string")
+    return pats.crossJoin(F.broadcast(probes)).select(
+        "hotspot_id",
+        "probe",
+        F.expr("probe RLIKE concat('^(?:', regex, ')$')").alias("accepted"),
+    )
+
+
+_OPS_PROBE_LIST = ", ".join(f"'{p}'" for p in _OPS_PROBES)
+
+SQL_SA_OPS_GRAMMAR = f"""
+SELECT 'op' || CAST(n_nationkey AS VARCHAR) AS hotspot_id, probe,
+       probe = 'AD-CzAD-Cz' AS accepted
+FROM nation
+CROSS JOIN (SELECT unnest([{_OPS_PROBE_LIST}]) AS probe)
+"""
+
+
+_CSET_PROBES = ["", "AB", "ab", "ABAB", "abab", "aB", "A"]
+
+
+def q_sa_charset_cycle(spark, sf_dir):
+    """CharSetApproximation per-SCC fixpoint + operation-cycle breaking
+    (reference helper/approximations/CharSetApproximation.kt:40-117,
+    CharSet.kt): planted CYCLIC grammar per nation — S → upper(S) | "ab"
+    — whose op cycle makes it non-regularizable until the charset pass
+    replaces the in-cycle production with its charset-star bound.
+    Fixpoint ground truth: charset(S) = {a,b} ∪ upper({a,b,A,B}) =
+    {a,b,A,B} (pattern [ABab]*); the broken grammar is
+    S → [AB]* | "ab" (upper({a,b,A,B}) = {A,B}), so the synthesized
+    language is exactly (?:[AB]*|ab). Both the charset bound and probe
+    acceptance are hash-checked against that closed form."""
+    from .operators import stringapprox
+
+    def s(v):
+        return F.lit(v).cast("string") if v is not None else F.lit(None).cast("string")
+
+    def prod(nt, idx, k1, v1, k2, v2):
+        return F.struct(
+            F.lit(nt).cast("long").alias("nt"),
+            F.lit(idx).cast("int").alias("prod_idx"),
+            s(k1).alias("s1_kind"),
+            s(v1).alias("s1"),
+            s(k2).alias("s2_kind"),
+            s(v2).alias("s2"),
+        )
+
+    nation = t(spark, sf_dir, "nation")
+    prods = nation.select(
+        F.concat(F.lit("cs"), F.col("n_nationkey").cast("string")).alias("hotspot_id"),
+        F.explode(
+            F.array(
+                prod(0, 0, "o", "upper", "n", "0"),  # S -> upper(S): op cycle
+                prod(0, 1, "t", "ab", None, None),   # S -> "ab"
+            )
+        ).alias("p"),
+    ).select("hotspot_id", "p.*")
+    pats = stringapprox.grammar_patterns(prods)
+    probes = spark.createDataFrame([(p,) for p in _CSET_PROBES], "probe string")
+    return pats.crossJoin(F.broadcast(probes)).select(
+        "hotspot_id",
+        "charset_regex",
+        "probe",
+        F.expr("probe RLIKE concat('^(?:', regex, ')$')").alias("accepted"),
+    )
+
+
+_CSET_PROBE_LIST = ", ".join(f"'{p}'" for p in _CSET_PROBES)
+
+SQL_SA_CHARSET_CYCLE = f"""
+SELECT 'cs' || CAST(n_nationkey AS VARCHAR) AS hotspot_id,
+       '[ABab]*' AS charset_regex, probe,
+       regexp_full_match(probe, '(?:[AB]*|ab)') AS accepted
+FROM nation
+CROSS JOIN (SELECT unnest([{_CSET_PROBE_LIST}]) AS probe)
+"""
+
+
 # ---------------------------------------------------------------------------
 # 4. text analysis
 
@@ -1859,6 +1984,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # string-approximation chain
     "sa_grammar_accept": (q_sa_grammar_accept, SQL_SA_GRAMMAR_ACCEPT),
     "sa_dfg_grammar": (q_sa_dfg_grammar, SQL_SA_DFG_GRAMMAR),
+    "sa_ops_grammar": (q_sa_ops_grammar, SQL_SA_OPS_GRAMMAR),
+    "sa_charset_cycle": (q_sa_charset_cycle, SQL_SA_CHARSET_CYCLE),
     "eval_const_fold": (q_eval_const_fold, SQL_EVAL_CONST_FOLD),
     "eval_multi_sets": (q_eval_multi_sets, SQL_EVAL_MULTI_SETS),
     # text analysis

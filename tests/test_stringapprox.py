@@ -187,3 +187,184 @@ def test_grammar_patterns_operator(spark):
     cyc_rx, fin_rx = got["cyc"]["regex"], got["fin"]["regex"]
     assert _full(cyc_rx, "aabb") and _full(cyc_rx, "aab") and not _full(cyc_rx, "ba")
     assert _full(fin_rx, "xy") and _full(fin_rx, "xz") and not _full(fin_rx, "x")
+
+
+# --- string OPERATION productions + charset approximation -------------------
+# (reference helper/operations/Operations.kt:37-106, Replace.kt, Trim.kt,
+#  ToUpperCase.kt, ToLowerCase.kt, Repeat.kt;
+#  helper/approximations/CharSetApproximation.kt:40-117, CharSet.kt)
+
+from cpg_spark.functions.grammar import (  # noqa: E402
+    OP,
+    CharSet,
+    charset_approximation,
+    op_charset,
+    op_regex,
+)
+
+
+def test_charset_algebra():
+    """Union identities from CharSet.kt:77-95: (Σ\\A)∪(Σ\\B) = Σ\\(A∩B),
+    (Σ\\A)∪B = Σ\\(A−B), set∪set = set-union."""
+    a = CharSet.of("ab")
+    b = CharSet.of("bc")
+    assert a.union(b) == CharSet.of("abc")
+    sa = CharSet({"a", "b"}, sigma=True)
+    sb = CharSet({"b", "c"}, sigma=True)
+    assert sa.union(sb) == CharSet({"b"}, sigma=True)
+    assert sa.union(CharSet.of("a")) == CharSet({"b"}, sigma=True)
+    assert "a" in a and "z" not in a
+    assert "z" in sa and "a" not in sa
+    assert CharSet.of("ab").to_regex_pattern() == "[ab]*"
+    assert CharSet({"a"}, sigma=True).to_regex_pattern() == "[^a]*"
+    assert CharSet.anything().to_regex_pattern() == ".*"
+    assert CharSet.empty().to_regex_pattern() == ""
+
+
+def test_op_charset_transformations():
+    """Per-op charset transforms (Replace.kt:44-159, ToUpperCase.kt,
+    Trim.kt:113, Repeat.kt:42; unknown op → Σ, Operations.kt:110)."""
+    cs = CharSet.of("abc")
+    assert op_charset("replace:a:x", cs) == CharSet.of("xbc")
+    assert op_charset("replace:z:x", cs) == cs  # old absent: unchanged
+    assert op_charset("replace_old:a", cs) == CharSet.anything()
+    assert op_charset("replace_old:z", cs) == cs
+    assert op_charset("replace_new:x", cs) == CharSet.of("abcx")
+    assert op_charset("replace_any", cs) == CharSet.anything()
+    assert op_charset("trim", cs) == cs
+    assert op_charset("upper", cs) == CharSet.of("ABC")
+    assert op_charset("lower", CharSet.of("AbC")) == CharSet.of("abc")
+    # sigma case: upper removes a..z too (ToUpperCase.kt comment)
+    up_sigma = op_charset("upper", CharSet({"!"}, sigma=True))
+    assert "x" not in up_sigma and "X" in up_sigma and "!" not in up_sigma
+    assert op_charset("repeat:3", cs) == cs
+    assert op_charset("totally_unknown", cs) == CharSet.anything()
+
+
+def test_charset_fixpoint_breaks_operation_cycle():
+    """S → upper(S) | 'ab' is an operation cycle: unapproximatable until
+    the charset pass replaces the in-cycle production with its
+    charset-star bound (CharSetApproximation.breakCycles). Fixpoint:
+    charset(S) = {a,b,A,B}; replacement terminal = upper(charset)* =
+    [AB]*; final language exactly [AB]* | ab."""
+    g = Grammar()
+    s = g.add_nt("S")
+    g.add_prod(s, ((OP, "upper", s),))
+    g.add_prod(s, ((T, "ab"),))
+    cs = charset_approximation(g)
+    assert cs[s] == CharSet.of("abAB")
+    assert not regular_approximation(g, {s})  # now regular
+    rx = grammar_to_regex(g, s, cs)
+    for good in ["", "AB", "ab", "ABAB", "A"]:
+        assert _full(rx, good), (rx, good)
+    for bad in ["abab", "aB", "ba"]:
+        assert not _full(rx, bad), (rx, bad)
+
+
+def test_op_chain_exact():
+    """Acyclic op chain folds exactly: upper → replace → concat →
+    repeat → trim over 'ab-c' yields the single string AD-CzAD-Cz."""
+    g = Grammar()
+    x0, x1, x2, x3, z, x4, x5 = (g.add_nt() for _ in range(7))
+    g.add_prod(x0, ((T, "ab-c"),))
+    g.add_prod(x1, ((OP, "upper", x0),))
+    g.add_prod(x2, ((OP, "replace:B:D", x1),))
+    g.add_prod(z, ((T, "z"),))
+    g.add_prod(x3, ((N, x2), (N, z)))
+    g.add_prod(x4, ((OP, "repeat:2", x3),))
+    g.add_prod(x5, ((OP, "trim", x4),))
+    cs = charset_approximation(g)
+    assert not regular_approximation(g, {x5})
+    rx = grammar_to_regex(g, x5, cs)
+    assert _full(rx, "AD-CzAD-Cz")
+    for bad in ["AD-Cz", "AB-CzAB-Cz", "ad-czad-cz", ""]:
+        assert not _full(rx, bad), (rx, bad)
+
+
+def test_replace_regex_reference_cases():
+    """The ReplaceBothKnown regex rewrites (Replace.kt:81-128): positive
+    classes swap, negative classes gain old / lose new, wildcards become
+    [^old], literals outside classes swap."""
+    assert op_regex("replace:x:y", "[abx]*", CharSet.empty()) == "[aby]*"
+    # negative class "[^aby]" with old=x new=y: y removed, x appended
+    assert op_regex("replace:x:y", "[^aby]*", CharSet.empty()) == "[^abx]*"
+    # both present: content kept, old appended
+    assert op_regex("replace:x:y", "[^abxy]*", CharSet.empty()) == "[^abxyx]*"
+    # wildcard -> [^x]
+    assert op_regex("replace:x:y", ".*", CharSet.empty()) == "[^x]*"
+    # literal outside class
+    assert op_regex("replace:x:y", "axb[x]*", CharSet.empty()) == "ayb[y]*"
+
+
+def test_op_on_mn_approximated_target():
+    """Op applied to a BOTH-recursive target: MN first regularizes
+    aⁿcbⁿ to a*cb*, then replace a→x maps the whole language."""
+    g = Grammar()
+    s, tn, d = g.add_nt("S"), g.add_nt("T"), g.add_nt("D")
+    g.add_prod(s, ((T, "a"), (N, tn)))
+    g.add_prod(s, ((T, "c"),))
+    g.add_prod(tn, ((N, s), (T, "b")))
+    g.add_prod(d, ((OP, "replace:a:x", s),))
+    cs = charset_approximation(g)
+    assert regular_approximation(g, {d})
+    rx = grammar_to_regex(g, d, cs)
+    for good in ["c", "xcb", "xxcbb", "xc"]:
+        assert _full(rx, good), (rx, good)
+    for bad in ["acb", "ab"]:
+        assert not _full(rx, bad), (rx, bad)
+
+
+def test_unknown_op_falls_back_to_sigma():
+    """Unknown operations over-approximate to Σ* (TerminalProduction(
+    Terminal.anything()) in Operations.kt:84)."""
+    g = Grammar()
+    a, b = g.add_nt(), g.add_nt()
+    g.add_prod(a, ((T, "q"),))
+    g.add_prod(b, ((OP, "mystery_op", a),))
+    cs = charset_approximation(g)
+    assert grammar_to_regex(g, b, cs) == ".*"
+    assert cs[b] == CharSet.anything()
+
+
+def test_grammar_patterns_emits_ops_and_charset(spark):
+    """Grouped-map operator carries op productions ('o' rows) and the
+    charset_regex column end to end."""
+    rows = [
+        # hotspot "opc": S(0) -> upper(B(1)); B -> "ab"
+        ("opc", 0, 0, "o", "upper", "n", "1"),
+        ("opc", 1, 0, "t", "ab", None, None),
+        # hotspot "cyc": S -> upper(S) | "ab"  (operation cycle)
+        ("cyc", 0, 0, "o", "upper", "n", "0"),
+        ("cyc", 0, 1, "t", "ab", None, None),
+    ]
+    prods = spark.createDataFrame(
+        rows,
+        "hotspot_id string, nt long, prod_idx int, "
+        "s1_kind string, s1 string, s2_kind string, s2 string",
+    )
+    got = {r["hotspot_id"]: r for r in grammar_patterns(prods).collect()}
+    assert _full(got["opc"]["regex"], "AB")
+    assert not _full(got["opc"]["regex"], "ab")
+    assert got["opc"]["charset_regex"] == "[AB]*"  # upper({a,b})
+    assert got["cyc"]["charset_regex"] == "[ABab]*"
+    assert _full(got["cyc"]["regex"], "ABAB") and _full(got["cyc"]["regex"], "ab")
+    assert not _full(got["cyc"]["regex"], "abab")
+
+
+def test_productions_from_dfg_op_nodes(spark):
+    """'op' DFG nodes emit operation productions through the slice."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    nodes = spark.createDataFrame(
+        [(0, "lit", "hi"), (1, "op", "upper"), (2, "op", "repeat:2")],
+        "node_id long, kind string, text string",
+    )
+    edges = spark.createDataFrame(
+        [(0, 1, 0), (1, 2, 0)], "child long, parent long, pos int"
+    )
+    hotspots = spark.createDataFrame([("h", 2)], "hotspot_id string, node_id long")
+    prods = stringapprox.productions_from_dfg(nodes, edges, hotspots)
+    pats = stringapprox.grammar_patterns(prods)
+    row = pats.collect()[0]
+    assert _full(row["regex"], "HIHI")
+    assert not _full(row["regex"], "HI") and not _full(row["regex"], "hihi")
