@@ -125,3 +125,95 @@ def test_evaluate_sets_cap_is_flagged(spark):
     got = {r["node_id"]: (list(r["vals"]), r["truncated"])
            for r in evaluate_expression_sets(nodes, edges, max_set_size=4).collect()}
     assert got[10] == ([0.0, 1.0, 2.0, 3.0], True)
+
+
+def test_evaluate_full_op_set(spark):
+    """Ordered operators (reference ValueEvaluator.kt:119-141, 268-330):
+    sub/div/comparisons/cond over positional edges; division by zero is
+    cannotEvaluate (absent), conditionals select on the folded guard."""
+    nodes = spark.createDataFrame(
+        [
+            (0, "lit", 7.0, None), (1, "lit", 2.0, None), (2, "lit", 0.0, None),
+            (10, "op", None, "sub"),   # 7 - 2 = 5
+            (11, "op", None, "div"),   # 7 / 2 = 3.5
+            (12, "op", None, "gt"),    # 7 > 2 = 1
+            (13, "op", None, "le"),    # 7 <= 2 = 0
+            (14, "op", None, "eq"),    # 2 == 2 = 1
+            (15, "op", None, "cond"),  # gt ? 7 : 2 = 7
+            (16, "op", None, "div"),   # 7 / 0 -> absent
+        ],
+        "node_id long, kind string, value double, op string",
+    )
+    edges = spark.createDataFrame(
+        [
+            (0, 10, 0), (1, 10, 1),
+            (0, 11, 0), (1, 11, 1),
+            (0, 12, 0), (1, 12, 1),
+            (0, 13, 0), (1, 13, 1),
+            (1, 14, 0), (1, 14, 1),
+            (12, 15, 0), (0, 15, 1), (1, 15, 2),
+            (0, 16, 0), (2, 16, 1),
+        ],
+        "child long, parent long, pos int",
+    )
+    got = {r["node_id"]: r["value"] for r in evaluate_expressions(nodes, edges).collect()}
+    assert got[10] == 5.0 and got[11] == 3.5
+    assert got[12] == 1.0 and got[13] == 0.0 and got[14] == 1.0
+    assert got[15] == 7.0
+    assert 16 not in got  # zero divisor: cannot evaluate
+
+
+def test_evaluate_sets_ordered_ops(spark):
+    """Set variants: pairwise sub/div, zero-divisor pairs dropped, cond
+    unions both branches (MultiValueEvaluator's ConditionalExpression
+    rule)."""
+    from cpg_spark.operators.evaluate import evaluate_expression_sets
+
+    nodes = spark.createDataFrame(
+        [
+            (0, "lit", 1.0, None), (1, "lit", 4.0, None), (2, "lit", 0.0, None),
+            (3, "lit", 2.0, None), (4, "lit", 9.0, None),
+            (10, "op", None, "phi"),   # {1, 4}
+            (20, "op", None, "phi"),   # {0, 2}
+            (11, "op", None, "sub"),   # {1,4} - {2} = {-1, 2}
+            (12, "op", None, "div"),   # {1,4} / {0,2} -> zero pairs drop -> {0.5, 2}
+            (13, "op", None, "cond"),  # branches {1,4} U {9}
+        ],
+        "node_id long, kind string, value double, op string",
+    )
+    edges = spark.createDataFrame(
+        [
+            (0, 10, 0), (1, 10, 1),
+            (10, 11, 0), (3, 11, 1),
+            (2, 20, 0), (3, 20, 1),
+            (10, 12, 0), (20, 12, 1),
+            (3, 13, 0), (10, 13, 1), (4, 13, 2),
+        ],
+        "child long, parent long, pos int",
+    )
+    out = {
+        r["node_id"]: list(r["vals"])
+        for r in evaluate_expression_sets(nodes, edges).collect()
+    }
+    assert out[10] == [1.0, 4.0]
+    assert out[11] == [-1.0, 2.0]
+    assert out[12] == [0.5, 2.0]
+    assert out[13] == [1.0, 4.0, 9.0]
+
+
+def test_evaluate_checkpoint_dir_equivalence(spark, tmp_path):
+    """Reliable-checkpoint switch produces identical results to the
+    localCheckpoint default (the canonicalize equivalence pattern)."""
+    nodes = spark.createDataFrame(
+        [(0, "lit", 3.0, None), (1, "lit", 4.0, None), (10, "op", None, "add")],
+        "node_id long, kind string, value double, op string",
+    )
+    edges = spark.createDataFrame([(0, 10), (1, 10)], "child long, parent long")
+    base = {r["node_id"]: r["value"] for r in evaluate_expressions(nodes, edges).collect()}
+    ck = {
+        r["node_id"]: r["value"]
+        for r in evaluate_expressions(
+            nodes, edges, checkpoint_dir=str(tmp_path / "ck")
+        ).collect()
+    }
+    assert base == ck == {0: 3.0, 1: 4.0, 10: 7.0}
