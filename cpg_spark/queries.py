@@ -743,22 +743,37 @@ def q_events_order_check(spark, sf_dir):
     checks call sequences along the EOG against a DFA): per user, the
     ordered event-initial string and whether a purchase happens before
     any signup (rule violation). Ordered aggregation via array_sort of
-    (ts, event_id, initial) structs — deterministic total order."""
+    (ts, event_id, initial) structs — deterministic total order. The
+    per-user sequence is CAPPED with a window rank before collection (a
+    bot account with 10^7 events must not become a single-row OOM); the
+    cap exceeds any real per-user count at bench scale so the oracle is
+    exact, and the generic capped operator (operators/typestate.py)
+    carries the `truncated` audit flag."""
+    cap = 100_000
     ev = t(spark, sf_dir, "events")
     ini = F.substring("event_type", 1, 1)
     ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    ranked = ev.withColumn("__rn", F.row_number().over(w))
     seq = F.array_join(
         F.transform(
             F.array_sort(
                 F.collect_list(
-                    F.struct(ts_us.alias("t"), F.col("event_id").alias("e"), ini.alias("i"))
+                    F.when(
+                        F.col("__rn") <= cap,
+                        F.struct(
+                            ts_us.alias("t"),
+                            F.col("event_id").alias("e"),
+                            ini.alias("i"),
+                        ),
+                    )
                 )
             ),
             lambda x: x.getField("i"),
         ),
         "",
     )
-    return ev.groupBy("user_id").agg(
+    return ranked.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         seq.alias("seq"),
     ).select(
@@ -775,6 +790,63 @@ SELECT user_id, COUNT(*) AS n_events,
        NOT regexp_matches(string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id),
                           '^[cev]*p') AS order_ok
 FROM events GROUP BY user_id
+"""
+
+
+def q_events_order_dfa(spark, sf_dir):
+    """CONFIGURABLE DFA typestate evaluation (reference
+    analysis/fsm/DFAOrderEvaluator.kt:72-520 + DFA.kt:82-101 — the user
+    hands a transition table; a symbol with no transition is an order
+    violation, termination outside the accept set is non-accepting):
+    a 3-state purchase-protocol DFA over per-user event initials —
+    S0 --s--> S1 --p--> S2 (absorbing), c/e/v self-loop on S0/S1, s
+    self-loops on S1; 'p' from S0 has NO transition, so a purchase
+    before signup freezes the walk at S0 with the violating index.
+    The oracle computes the closed-form final state / violation index
+    per user from the ordered initial string."""
+    from .operators.typestate import dfa_evaluate
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "sym", F.substring("event_type", 1, 1)
+    )
+    rows = (
+        [("S0", a, "S0") for a in "cev"]
+        + [("S0", "s", "S1")]
+        + [("S1", a, "S1") for a in "cevs"]
+        + [("S1", "p", "S2")]
+        + [("S2", a, "S2") for a in "cevsp"]
+    )
+    dfa = spark.createDataFrame(
+        rows, "src_state string, symbol string, dst_state string"
+    )
+    return dfa_evaluate(
+        ev,
+        dfa,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        symbol_col="sym",
+        start_state="S0",
+        accept_states=("S0", "S1", "S2"),
+        max_events=100_000,
+    )
+
+
+SQL_EVENTS_ORDER_DFA = """
+WITH seqs AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events, FALSE AS truncated,
+  CASE WHEN regexp_matches(seq, '^[cev]*p') THEN 'S0'
+       WHEN regexp_matches(seq, '^[cev]*s.*p') THEN 'S2'
+       WHEN regexp_matches(seq, '^[cev]*s') THEN 'S1'
+       ELSE 'S0' END AS final_state,
+  NOT regexp_matches(seq, '^[cev]*p') AS ok,
+  CASE WHEN regexp_matches(seq, '^[cev]*p')
+       THEN CAST(length(regexp_extract(seq, '^[cev]*')) AS INT)
+       ELSE -1 END AS violation_idx
+FROM seqs
 """
 
 
@@ -1301,6 +1373,169 @@ rows AS (
   UNION ALL SELECT s + 2, [CAST(3 AS DOUBLE)] FROM k
   UNION ALL SELECT s + 10, list_sort(list_distinct([CAST(s % 5 AS DOUBLE), 2.0])) FROM k
   UNION ALL SELECT s + 11, list_sort(list_distinct([CAST(s % 5 + 3 AS DOUBLE), 5.0])) FROM k
+)
+SELECT node_id,
+       array_to_string(list_transform(vals, v -> CAST(v AS VARCHAR)), ',') AS vals_csv,
+       FALSE AS truncated
+FROM rows
+"""
+
+
+def q_eval_ops_full(spark, sf_dir):
+    """ValueEvaluator FULL operator coverage (reference
+    ValueEvaluator.kt:119-141 folds + - * /; 268-330 folds comparisons
+    > < >= <= ==, unary -, conditionals; zero divisors are
+    cannotEvaluate). Planted DAG per 50-key block s: lits s=(s%7),
+    s+1=(s%5)+1 (never zero), s+2=2, s+18=0; ordered ops sub/div/gt/le/
+    eq, cond selecting on the FOLDED gt result (multi-round), neg of the
+    sub, and a division by the zero literal that must be ABSENT from the
+    output. Oracle = closed form over the same keys."""
+    from .operators.evaluate import evaluate_expressions
+
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 50 == 0)
+    k = F.col("c_custkey")
+    nulld = F.lit(None).cast("double")
+    nulls = F.lit(None).cast("string")
+
+    def lit_node(nid, val):
+        return cust.select(
+            nid.cast("long").alias("node_id"), F.lit("lit").alias("kind"),
+            val.cast("double").alias("value"), nulls.alias("op"),
+        )
+
+    def op_node(nid, op):
+        return cust.select(
+            nid.cast("long").alias("node_id"), F.lit("op").alias("kind"),
+            nulld.alias("value"), F.lit(op).alias("op"),
+        )
+
+    nodes = (
+        lit_node(k, k % 7)
+        .union(lit_node(k + 1, (k % 5) + 1))
+        .union(lit_node(k + 2, F.lit(2)))
+        .union(lit_node(k + 18, F.lit(0)))
+        .union(op_node(k + 10, "sub"))
+        .union(op_node(k + 11, "div"))
+        .union(op_node(k + 12, "gt"))
+        .union(op_node(k + 13, "le"))
+        .union(op_node(k + 14, "eq"))
+        .union(op_node(k + 15, "cond"))
+        .union(op_node(k + 16, "neg"))
+        .union(op_node(k + 17, "div"))  # by zero -> cannotEvaluate
+    )
+
+    def edge(a, b, pos):
+        return cust.select(
+            a.cast("long").alias("child"), b.cast("long").alias("parent"),
+            F.lit(pos).cast("int").alias("pos"),
+        )
+
+    edges = (
+        edge(k, k + 10, 0).union(edge(k + 1, k + 10, 1))
+        .union(edge(k, k + 11, 0)).union(edge(k + 1, k + 11, 1))
+        .union(edge(k, k + 12, 0)).union(edge(k + 1, k + 12, 1))
+        .union(edge(k, k + 13, 0)).union(edge(k + 1, k + 13, 1))
+        .union(edge(k, k + 14, 0)).union(edge(k + 2, k + 14, 1))
+        .union(edge(k + 12, k + 15, 0)).union(edge(k, k + 15, 1))
+        .union(edge(k + 1, k + 15, 2))
+        .union(edge(k + 10, k + 16, 0))
+        .union(edge(k, k + 17, 0)).union(edge(k + 18, k + 17, 1))
+    )
+    return evaluate_expressions(nodes, edges)
+
+
+SQL_EVAL_OPS_FULL = """
+WITH k AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 50 = 0)
+SELECT node_id, CAST(value AS DOUBLE) AS value FROM (
+  SELECT k AS node_id, k % 7 AS value FROM k
+  UNION ALL SELECT k + 1, (k % 5) + 1 FROM k
+  UNION ALL SELECT k + 2, 2 FROM k
+  UNION ALL SELECT k + 18, 0 FROM k
+  UNION ALL SELECT k + 10, (k % 7) - ((k % 5) + 1) FROM k
+  UNION ALL SELECT k + 11, CAST(k % 7 AS DOUBLE) / ((k % 5) + 1) FROM k
+  UNION ALL SELECT k + 12, CASE WHEN (k % 7) > ((k % 5) + 1) THEN 1 ELSE 0 END FROM k
+  UNION ALL SELECT k + 13, CASE WHEN (k % 7) <= ((k % 5) + 1) THEN 1 ELSE 0 END FROM k
+  UNION ALL SELECT k + 14, CASE WHEN (k % 7) = 2 THEN 1 ELSE 0 END FROM k
+  UNION ALL SELECT k + 15,
+    CASE WHEN (k % 7) > ((k % 5) + 1) THEN k % 7 ELSE (k % 5) + 1 END FROM k
+  UNION ALL SELECT k + 16, -((k % 7) - ((k % 5) + 1)) FROM k
+)
+"""
+
+
+def q_eval_set_ops(spark, sf_dir):
+    """MultiValueEvaluator ordered ops over value SETS (reference
+    MultiValueEvaluator.kt folds binary operators pairwise over operand
+    sets and takes BOTH branches of a conditional): per 50-key block s,
+    phi(s+10)={s%5, 2}; sub(s+11)=phi−{1} pairwise; div(s+12)=phi/{2};
+    cond(s+13) = union of both branch sets = phi ∪ {3}. Sorted CSV for
+    exact compare."""
+    from .operators.evaluate import evaluate_expression_sets
+
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 50 == 0)
+    s = F.col("c_custkey")
+    nulld, nulls = F.lit(None).cast("double"), F.lit(None).cast("string")
+
+    def lit_node(nid, val):
+        return cust.select(
+            nid.cast("long").alias("node_id"), F.lit("lit").alias("kind"),
+            val.cast("double").alias("value"), nulls.alias("op"),
+        )
+
+    def op_node(nid, op):
+        return cust.select(
+            nid.cast("long").alias("node_id"), F.lit("op").alias("kind"),
+            nulld.alias("value"), F.lit(op).alias("op"),
+        )
+
+    nodes = (
+        lit_node(s, s % 5)
+        .union(lit_node(s + 1, F.lit(2)))
+        .union(lit_node(s + 2, F.lit(3)))
+        .union(lit_node(s + 3, F.lit(1)))   # cond guard (truthy)
+        .union(lit_node(s + 5, F.lit(1)))   # sub operand
+        .union(op_node(s + 10, "phi"))
+        .union(op_node(s + 11, "sub"))
+        .union(op_node(s + 12, "div"))
+        .union(op_node(s + 13, "cond"))
+    )
+
+    def edge(a, b, pos):
+        return cust.select(
+            a.cast("long").alias("child"), b.cast("long").alias("parent"),
+            F.lit(pos).cast("int").alias("pos"),
+        )
+
+    edges = (
+        edge(s, s + 10, 0).union(edge(s + 1, s + 10, 1))
+        .union(edge(s + 10, s + 11, 0)).union(edge(s + 5, s + 11, 1))
+        .union(edge(s + 10, s + 12, 0)).union(edge(s + 1, s + 12, 1))
+        .union(edge(s + 3, s + 13, 0)).union(edge(s + 10, s + 13, 1))
+        .union(edge(s + 2, s + 13, 2))
+    )
+    out = evaluate_expression_sets(nodes, edges)
+    return out.filter((F.col("node_id") % 50) >= 10).select(
+        "node_id",
+        F.array_join(
+            F.transform(F.col("vals"), lambda v: v.cast("string")), ","
+        ).alias("vals_csv"),
+        "truncated",
+    )
+
+
+SQL_EVAL_SET_OPS = """
+WITH k AS (SELECT c_custkey AS s FROM customer WHERE c_custkey % 50 = 0),
+base AS (
+  SELECT s, list_sort(list_distinct([CAST(s % 5 AS DOUBLE), 2.0])) AS phi FROM k
+),
+rows AS (
+  SELECT s + 10 AS node_id, phi AS vals FROM base
+  UNION ALL SELECT s + 11,
+    list_sort(list_distinct(list_transform(phi, v -> v - 1.0))) FROM base
+  UNION ALL SELECT s + 12,
+    list_sort(list_distinct(list_transform(phi, v -> v / 2.0))) FROM base
+  UNION ALL SELECT s + 13,
+    list_sort(list_distinct(list_append(phi, 3.0))) FROM base
 )
 SELECT node_id,
        array_to_string(list_transform(vals, v -> CAST(v AS VARCHAR)), ',') AS vals_csv,
@@ -1967,6 +2202,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "link_fptr_calls": (q_link_fptr_calls, SQL_LINK_FPTR_CALLS),
     "dfg_reaching_defs": (q_dfg_reaching_defs, SQL_DFG_REACHING_DEFS),
     "events_order_check": (q_events_order_check, SQL_EVENTS_ORDER_CHECK),
+    "events_order_dfa": (q_events_order_dfa, SQL_EVENTS_ORDER_DFA),
     "qt_forall_witness": (q_qt_forall_witness, SQL_QT_FORALL_WITNESS),
     "eog_order_edges": (q_eog_order_edges, SQL_EOG_ORDER_EDGES),
     "cooccur_parts": (q_cooccur_parts, SQL_COOCCUR_PARTS),
@@ -1988,6 +2224,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sa_charset_cycle": (q_sa_charset_cycle, SQL_SA_CHARSET_CYCLE),
     "eval_const_fold": (q_eval_const_fold, SQL_EVAL_CONST_FOLD),
     "eval_multi_sets": (q_eval_multi_sets, SQL_EVAL_MULTI_SETS),
+    "eval_ops_full": (q_eval_ops_full, SQL_EVAL_OPS_FULL),
+    "eval_set_ops": (q_eval_set_ops, SQL_EVAL_SET_OPS),
     # text analysis
     "ts_token_stats": (q_ts_token_stats, SQL_TS_TOKEN_STATS),
     "ts_quality": (q_ts_quality, SQL_TS_QUALITY),
