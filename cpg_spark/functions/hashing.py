@@ -72,6 +72,22 @@ def inferred_id_col(alias_norm: Column) -> Column:
     return F.concat(F.lit("inf:"), F.lpad(F.lower(F.hex(h)), 16, "0"))
 
 
+def _poly_sql(expr: str, base: int) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, b) -> (a * {base} + b) % {_P31})"
+    )
+
+
+def inferred_id_sql(expr: str) -> str:
+    """DuckDB twin of inferred_id_col — same id for any ASCII input."""
+    return (
+        f"'inf:' || lpad(lower(hex(({_poly_sql(expr, 31)} << 31) "
+        f"| {_poly_sql(expr, 131)})), 16, '0')"
+    )
+
+
 # --- engine-portable polynomial string hash ---------------------------------
 #
 # xxhash64 is Spark-only; MinHash/SimHash/fingerprint operators need a hash

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import inferred_id_col
+from .iterutil import ckpt as _ckpt
 
 
 def best_alias_dict(alias_dict: DataFrame) -> DataFrame:
@@ -58,7 +59,9 @@ def link_mentions(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
     )
 
 
-def scope_ancestors(scopes: DataFrame, max_depth: int = 32) -> DataFrame:
+def scope_ancestors(
+    scopes: DataFrame, max_depth: int = 32, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Reflexive-transitive parent closure of the scope tree:
     (scope_id, ancestor_id, dist) with dist 0 = the scope itself.
 
@@ -66,44 +69,62 @@ def scope_ancestors(scopes: DataFrame, max_depth: int = 32) -> DataFrame:
     (ScopeManager.kt:625-653 `resolve` loops `scope = scope.parent`);
     precomputing the closure once turns that per-row walk into a single
     equi-join — the scope tree is metadata-sized next to the mention
-    stream. Iterative frontier joins, bounded by max_depth."""
+    stream. Iterative frontier joins, bounded by max_depth; iterations
+    truncate lineage via the shared reliable-checkpoint switch
+    (local in tests, checkpoint_dir on a cluster)."""
     anc = scopes.select(
         "scope_id", F.col("scope_id").alias("ancestor_id"), F.lit(0).alias("dist")
     )
     parents = scopes.select(
         F.col("scope_id").alias("__s"), F.col("parent_scope_id").alias("__p")
     ).filter(F.col("__p").isNotNull())
-    frontier = parents.select(
-        F.col("__s").alias("scope_id"),
-        F.col("__p").alias("ancestor_id"),
-        F.lit(1).alias("dist"),
-    ).localCheckpoint(eager=True)
+    frontier = _ckpt(
+        parents.select(
+            F.col("__s").alias("scope_id"),
+            F.col("__p").alias("ancestor_id"),
+            F.lit(1).alias("dist"),
+        ),
+        checkpoint_dir,
+    )
     for d in range(2, max_depth + 1):
         if frontier.isEmpty():
             break
         anc = anc.unionByName(frontier)
-        frontier = (
+        frontier = _ckpt(
             frontier.join(parents, frontier["ancestor_id"] == parents["__s"])
-            .select("scope_id", F.col("__p").alias("ancestor_id"), F.lit(d).alias("dist"))
-            .localCheckpoint(eager=True)
+            .select("scope_id", F.col("__p").alias("ancestor_id"), F.lit(d).alias("dist")),
+            checkpoint_dir,
         )
     return anc.unionByName(frontier) if not frontier.isEmpty() else anc
 
 
 def resolve_scoped(
-    refs: DataFrame, decls: DataFrame, scopes: DataFrame, max_depth: int = 32
+    refs: DataFrame,
+    decls: DataFrame,
+    scopes: DataFrame,
+    max_depth: int = 32,
+    infer_missing: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Scope-chain reference resolution: each ref (scope_id, name) binds
     to the declaration of the same name in the NEAREST enclosing scope —
     innermost wins (ScopeManager.kt:625-653; SURVEY §2.2#4's
     row_number-over-scope-distance mapping). Returns one row per resolved
-    ref: (scope_id, name, decl_scope, hops); refs with no declaration in
-    any enclosing scope drop out (callers union an inferred-decl branch,
-    as link_mentions does for flat aliases).
+    ref: (scope_id, name, decl_scope, hops).
+
+    infer_missing=False (legacy): refs with no declaration in any
+    enclosing scope drop out. infer_missing=True completes the world the
+    way the reference always does (inference/Inference.kt:57-343 creates
+    an inferred declaration for every unresolved reference): unresolved
+    refs come back with decl_scope NULL, hops -1, is_inferred=true and a
+    deterministic content-hash inferred_id (the link_mentions id scheme —
+    stable across runs and parallelism, never sequence-assigned); the
+    output then covers EVERY input ref.
 
     Shape: refs ⋈ ancestor-closure ⋈ decls, then a window picking
-    min dist (deterministic tie-break on decl_scope)."""
-    anc = scope_ancestors(scopes, max_depth)
+    min dist (deterministic tie-break on decl_scope); the inferred
+    branch is one anti-join."""
+    anc = scope_ancestors(scopes, max_depth, checkpoint_dir)
     d = decls.select(
         F.col("scope_id").alias("decl_scope"), F.col("name").alias("__dname")
     )
@@ -119,7 +140,7 @@ def resolve_scoped(
     w = Window.partitionBy("scope_id", "name").orderBy(
         F.asc("dist"), F.asc("decl_scope")
     )
-    return (
+    resolved = (
         cand.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(
@@ -129,6 +150,31 @@ def resolve_scoped(
             F.col("dist").cast("int").alias("hops"),
         )
     )
+    if not infer_missing:
+        return resolved
+    nulls = F.lit(None).cast("string")
+    resolved = resolved.select(
+        "*",
+        F.lit(False).alias("is_inferred"),
+        nulls.alias("inferred_id"),
+    )
+    decl_scope_type = dict(
+        (f.name, f.dataType) for f in scopes.schema.fields
+    )["scope_id"]
+    unresolved = (
+        refs.select("scope_id", "name")
+        .distinct()
+        .join(resolved.select("scope_id", "name"), ["scope_id", "name"], "left_anti")
+        .select(
+            "scope_id",
+            "name",
+            F.lit(None).cast(decl_scope_type).alias("decl_scope"),
+            F.lit(-1).cast("int").alias("hops"),
+            F.lit(True).alias("is_inferred"),
+            inferred_id_col(F.col("name")).alias("inferred_id"),
+        )
+    )
+    return resolved.unionByName(unresolved)
 
 
 def resolve_imports(
@@ -136,6 +182,7 @@ def resolve_imports(
     members: DataFrame,
     supertypes: DataFrame,
     max_depth: int = 16,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Import resolution with wildcard expansion — the full ImportResolver
     (reference passes/ImportResolver.kt:51-100): a specific import
@@ -168,6 +215,7 @@ def resolve_imports(
             F.col("supertype").alias("parent_scope_id"),
         ).distinct(),
         max_depth,
+        checkpoint_dir,
     ).select(
         F.col("scope_id").alias("__base"), F.col("ancestor_id").alias("__owner")
     ).distinct()

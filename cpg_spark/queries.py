@@ -33,18 +33,21 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def t_par(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan + round-robin repartition to defaultParallelism, for queries
-    whose first stage is a compute-heavy map (shingle/tokenize/hyperplane
-    kernels). The testdata parquet is a single row group, so the kernel
-    would otherwise run in ONE task; on a real cluster the scan has
-    thousands of splits and this repartition is a cheap no-op-shaped
-    shuffle of raw rows. Results are partition-independent.
+    """Scan + round-robin repartition for queries whose first stage is a
+    compute-heavy map (shingle/tokenize/hyperplane kernels). The testdata
+    parquet is a single row group, so the kernel would otherwise run in
+    ONE task; on a real cluster the scan has thousands of splits and this
+    repartition is a cheap shuffle of raw rows. Results are
+    partition-independent.
 
-    Width 8, not defaultParallelism: the allocation-heavy interpreted
-    HOF kernels hit this VM's memory-bandwidth ceiling near 8 workers
-    (measured min-of-warm-runs: dd_minhash 4.2s@1, 1.5s@8, 1.9s@32) —
-    past it, extra tasks only add GC contention."""
-    width = min(8, spark.sparkContext.defaultParallelism)
+    Width = spark.cpg.kernel.width if set, else defaultParallelism — the
+    cluster default. The bench harness sets the conf to 8 because THIS
+    VM's memory bandwidth peaks near 8 streaming workers for the
+    allocation-heavy interpreted HOF kernels (measured min-of-warm-runs:
+    dd_minhash 4.2s@1, 1.5s@8, 1.9s@32); that sandbox ceiling lives in
+    bench.py, not here."""
+    conf = spark.conf.get("spark.cpg.kernel.width", None)
+    width = int(conf) if conf else spark.sparkContext.defaultParallelism
     return t(spark, sf_dir, name).repartition(width)
 
 
@@ -537,9 +540,10 @@ def q_canon_scc(spark, sf_dir):
     grammar/type graphs). Planted graph per 50-key block s: a 3-cycle
     s→s+1→s+2→s with a DAG tail s+2→s+3→s+4, a bridge s+4→s+10, and a
     2-cycle s+10↔s+11. Ground truth: {s,s+1,s+2} → s, singletons s+3 and
-    s+4, {s+10,s+11} → s+10. The dictionary-sized gate graph takes the
-    driver-Tarjan path (the reference's own choice, Components.kt:97);
-    the distributed coloring path is exercised by
+    s+4, {s+10,s+11} → s+10. driver_threshold=0 deliberately DISABLES
+    the driver-Tarjan shortcut so this gate exercises the distributed
+    FW-coloring/peel path (the 100× plan) on every run; Tarjan's golden
+    equivalence is covered by
     tests/test_canonicalize.py::test_scc_distributed_matches_tarjan."""
     cust = t(spark, sf_dir, "customer")
     k = F.col("c_custkey")
@@ -1110,6 +1114,87 @@ JOIN anc a ON a.scope_id = r.scope_id
 JOIN decls d ON d.scope_id = a.ancestor AND d.name = r.name
 QUALIFY row_number() OVER (PARTITION BY r.scope_id, r.name
                            ORDER BY a.dist, d.scope_id) = 1
+"""
+
+
+def q_link_scope_inferred(spark, sf_dir):
+    """Inferred-declaration union for scope-chain resolution (reference
+    inference/Inference.kt:57-343 — the resolver always completes the
+    world: every unresolved reference gets an inferred declaration):
+    same planted tree as link_scope_chain, but with infer_missing=True
+    the 'z' refs (declared nowhere) come back as inferred rows with
+    hops -1 and the deterministic content-hash inferred id; the oracle
+    recomputes the id with the same dual-base polynomial."""
+    from .functions.hashing import inferred_id_col  # noqa: F401
+    from .operators import link
+
+    cust = t(spark, sf_dir, "customer")
+    k, m = F.col("c_custkey"), F.col("c_custkey") % 50
+    scopes = cust.filter(m <= 2).select(
+        k.alias("scope_id"),
+        F.when(m.isin(1, 2), k - 1).alias("parent_scope_id"),
+    )
+    decls = (
+        cust.filter(m == 0)
+        .select(k.alias("scope_id"), F.lit("x").alias("name"))
+        .union(cust.filter(m == 0).select(k, F.lit("y")))
+        .union(cust.filter(m == 2).select(k, F.lit("x")))
+    )
+    names = spark.createDataFrame([("x",), ("y",), ("z",)], "name string")
+    refs = (
+        cust.filter(m == 2)
+        .select(k.alias("scope_id"))
+        .crossJoin(F.broadcast(names))
+        .union(cust.filter(m == 1).select(k, F.lit("x")))
+    )
+    out = link.resolve_scoped(refs, decls, scopes, infer_missing=True)
+    # string-typed decl_scope: the oracle fetch renders a nullable int64
+    # column as float ('300.0'), so the null-bearing column is compared
+    # as text on both sides
+    return out.withColumn("decl_scope", F.col("decl_scope").cast("string"))
+
+
+from .functions.hashing import inferred_id_sql as _inferred_id_sql  # noqa: E402
+
+SQL_LINK_SCOPE_INFERRED = f"""
+WITH RECURSIVE scopes AS (
+  SELECT c_custkey AS scope_id,
+         CASE WHEN c_custkey % 50 IN (1, 2) THEN c_custkey - 1 END AS parent
+  FROM customer WHERE c_custkey % 50 <= 2
+), anc AS (
+  SELECT scope_id, scope_id AS ancestor, 0 AS dist FROM scopes
+  UNION ALL
+  SELECT a.scope_id, s.parent, a.dist + 1
+  FROM anc a JOIN scopes s ON s.scope_id = a.ancestor
+  WHERE s.parent IS NOT NULL
+), decls AS (
+  SELECT c_custkey AS scope_id, 'x' AS name FROM customer WHERE c_custkey % 50 = 0
+  UNION ALL
+  SELECT c_custkey, 'y' FROM customer WHERE c_custkey % 50 = 0
+  UNION ALL
+  SELECT c_custkey, 'x' FROM customer WHERE c_custkey % 50 = 2
+), refs AS (
+  SELECT c_custkey AS scope_id, v.name
+  FROM customer CROSS JOIN (SELECT unnest(['x','y','z']) AS name) v
+  WHERE c_custkey % 50 = 2
+  UNION ALL
+  SELECT c_custkey, 'x' FROM customer WHERE c_custkey % 50 = 1
+), resolved AS (
+  SELECT r.scope_id, r.name, CAST(d.scope_id AS VARCHAR) AS decl_scope,
+         CAST(a.dist AS INT) AS hops
+  FROM refs r
+  JOIN anc a ON a.scope_id = r.scope_id
+  JOIN decls d ON d.scope_id = a.ancestor AND d.name = r.name
+  QUALIFY row_number() OVER (PARTITION BY r.scope_id, r.name
+                             ORDER BY a.dist, d.scope_id) = 1
+)
+SELECT scope_id, name, decl_scope, hops,
+       FALSE AS is_inferred, CAST(NULL AS VARCHAR) AS inferred_id
+FROM resolved
+UNION ALL
+SELECT r.scope_id, r.name, NULL, -1, TRUE, {_inferred_id_sql('r.name')}
+FROM (SELECT DISTINCT scope_id, name FROM refs) r
+ANTI JOIN resolved s ON s.scope_id = r.scope_id AND s.name = r.name
 """
 
 
@@ -2189,6 +2274,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pass_stats_agg": (q_pass_stats_agg, SQL_PASS_STATS_AGG),
     "link_bestpick": (q_link_bestpick, SQL_LINK_BESTPICK),
     "link_scope_chain": (q_link_scope_chain, SQL_LINK_SCOPE_CHAIN),
+    "link_scope_inferred": (q_link_scope_inferred, SQL_LINK_SCOPE_INFERRED),
     "link_scored": (q_link_scored, SQL_LINK_SCORED),
     "link_imports": (q_link_imports, SQL_LINK_IMPORTS),
     "graph_compress": (q_graph_compress, SQL_GRAPH_COMPRESS),

@@ -171,3 +171,47 @@ def test_resolve_imports_exact_and_wildcard(spark):
         ("I2", "Root", "rm"),                  # base with no supertype row
         ("I3", "C1", "i0"),                    # exact binds instance members too
     }
+
+
+def test_resolve_scoped_infer_missing(spark):
+    """infer_missing=True completes the world (Inference.kt analog):
+    unresolved refs come back as inferred rows with deterministic
+    content-hash ids; resolved rows are unchanged."""
+    from cpg_spark.functions.hashing import inferred_id_py
+    from cpg_spark.operators.link import resolve_scoped
+
+    scopes = spark.createDataFrame(
+        [(1, None), (2, 1)], "scope_id long, parent_scope_id long"
+    )
+    decls = spark.createDataFrame([(1, "x")], "scope_id long, name string")
+    refs = spark.createDataFrame(
+        [(2, "x"), (2, "ghost")], "scope_id long, name string"
+    )
+    out = {
+        (r["scope_id"], r["name"]): r
+        for r in resolve_scoped(refs, decls, scopes, infer_missing=True).collect()
+    }
+    assert len(out) == 2  # every ref covered
+    ok = out[(2, "x")]
+    assert ok["decl_scope"] == 1 and ok["hops"] == 1 and not ok["is_inferred"]
+    inf = out[(2, "ghost")]
+    assert inf["is_inferred"] and inf["decl_scope"] is None and inf["hops"] == -1
+    assert inf["inferred_id"] == inferred_id_py("ghost")
+
+
+def test_scope_ancestors_checkpoint_dir_equivalence(spark, tmp_path):
+    """Reliable-checkpoint switch matches the localCheckpoint default."""
+    from cpg_spark.operators.link import scope_ancestors
+
+    scopes = spark.createDataFrame(
+        [(1, None), (2, 1), (3, 2), (4, 3)],
+        "scope_id long, parent_scope_id long",
+    )
+    base = sorted(map(tuple, scope_ancestors(scopes).collect()))
+    ck = sorted(
+        map(
+            tuple,
+            scope_ancestors(scopes, checkpoint_dir=str(tmp_path / "ck")).collect(),
+        )
+    )
+    assert base == ck and (4, 1, 3) in base
