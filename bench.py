@@ -76,6 +76,10 @@ def main() -> None:
     from cpg_spark.synth_spark import alias_dict_df, synth_pages
 
     spark = get_spark("bench")
+    # sandbox memory-bandwidth ceiling: the interpreted HOF kernels peak
+    # near 8 streaming workers on this VM (BENCH/BASELINE.md); on a real
+    # cluster leave this unset and t_par uses defaultParallelism
+    spark.conf.set("spark.cpg.kernel.width", "8")
 
     # materialize the synthetic corpus once so the measured KG run reads
     # parquet (same shape as the Iceberg pages table)

@@ -12,10 +12,35 @@ content-hash ids.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .iterutil import ckpt as _ckpt  # shared reliable-checkpoint switch
+
+# Convergence guard for the fixpoint loops below: past `max_iter` rounds
+# a warning is emitted but iteration CONTINUES (min-label propagation and
+# star-contraction are monotone, so the checksum fixpoint is guaranteed —
+# exiting early would silently return partial minima, i.e. WRONG
+# components, not just slow ones); at `max_iter * _HARD_CAP_FACTOR` a
+# RuntimeError stops a genuinely broken run.
+_HARD_CAP_FACTOR = 20
+
+
+def _iter_guard(rounds: int, max_iter: int, what: str) -> None:
+    if rounds == max_iter:
+        warnings.warn(
+            f"{what}: not converged after max_iter={max_iter} rounds; "
+            "continuing to the guaranteed fixpoint",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    if rounds >= max_iter * _HARD_CAP_FACTOR:
+        raise RuntimeError(
+            f"{what}: no fixpoint after {rounds} rounds "
+            f"(hard cap {max_iter} x {_HARD_CAP_FACTOR})"
+        )
 
 
 def _checksum(df: DataFrame) -> tuple[int, int]:
@@ -139,7 +164,10 @@ def connected_components(
         )
 
     prev = None
-    for _ in range(max_iter):
+    rounds = 0
+    while True:
+        rounds += 1
+        _iter_guard(rounds, max_iter, "connected_components star loop")
         # lazy checkpoint: the checksum action both materializes the
         # iteration (truncating lineage) and tests convergence — one
         # driver round-trip per round instead of two
@@ -324,7 +352,10 @@ def scc(
 
     done: DataFrame | None = None
     er = e
-    for _ in range(max_iter):
+    outer_rounds = 0
+    while True:
+        outer_rounds += 1
+        _iter_guard(outer_rounds, max_iter, "scc peel loop")
         if remaining.isEmpty():
             break
         # (1) forward min-label propagation to fixpoint
@@ -332,7 +363,10 @@ def scc(
             remaining.select("node", F.col("node").alias("color")), checkpoint_dir
         )
         prev = None
-        for _ in range(max_iter):
+        inner_rounds = 0
+        while True:
+            inner_rounds += 1
+            _iter_guard(inner_rounds, max_iter, "scc min-label propagation")
             incoming = (
                 er.join(
                     color.select(

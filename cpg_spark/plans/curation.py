@@ -34,10 +34,15 @@ def curate(
     max_doc_freq: int | None = None,
     lsh_max_bucket: int | None = None,
 ) -> dict[str, DataFrame]:
-    """Returns {kept, dropped, dup_map, lsh_dropped_buckets}: kept
-    survivors, dropped rows with a reason column, the doc_id ->
-    canonical_id near/exact-dup map, and the audit table of LSH buckets
-    excluded by lsh_max_bucket (empty when uncapped).
+    """Returns {kept, dropped, dup_map, lsh_dropped_buckets, unpersist}:
+    kept survivors, dropped rows with a reason column, the doc_id ->
+    canonical_id near/exact-dup map, the audit table of LSH buckets
+    excluded by lsh_max_bucket (empty when uncapped), and an
+    ``unpersist()`` callable. The candidate-pair stage is cached (it
+    feeds both sides of the verify join); the CALLER owns that cache's
+    lifetime — call ``result["unpersist"]()`` once the outputs are
+    materialized, or cached blocks accumulate in executor storage across
+    repeated invocations in a long-lived session.
 
     max_doc_freq drops shingles shared by more than that many docs before
     Jaccard verification (boilerplate guard); lsh_max_bucket excludes LSH
@@ -104,4 +109,5 @@ def curate(
         "dropped": dropped,
         "dup_map": dup_map,
         "lsh_dropped_buckets": lsh_dropped,
+        "unpersist": lambda: cand.unpersist(),
     }

@@ -57,3 +57,13 @@ def test_curate_no_gates_keeps_uniques(spark, docs_df):
     # only the exact dup collapses at 0.99 (near-dup jaccard < 0.99)
     assert 0 in kept and 2 in kept and 3 in kept
     assert 1 not in kept
+
+
+def test_curate_unpersist_releases_cache(spark, docs_df):
+    """The caller-owned cache handle releases the candidate-pair blocks
+    (library sessions must not leak storage across invocations)."""
+    out = curate(docs_df, near_dup_jaccard=0.99)
+    out["kept"].count()
+    out["unpersist"]()
+    # idempotent second call must not raise
+    out["unpersist"]()
