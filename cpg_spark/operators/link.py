@@ -182,6 +182,7 @@ def resolve_imports(
     members: DataFrame,
     supertypes: DataFrame,
     max_depth: int = 16,
+    infer_missing: bool = False,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Import resolution with wildcard expansion — the full ImportResolver
@@ -193,6 +194,14 @@ def resolve_imports(
     imports(importer, stmt), members(owner, member, is_static),
     supertypes(type_name, supertype). Returns
     (importer, owner, member) — one row per resolved declaration.
+
+    infer_missing=True completes the world (inference/Inference.kt:
+    57-343): a SPECIFIC import whose (owner, member) matches nothing
+    comes back as an inferred row — owner/member parsed from the
+    statement, is_inferred=true, and a deterministic content-hash
+    inferred_id (wildcards expand to whatever exists; an empty
+    expansion means the base has no statics, which the reference also
+    leaves empty rather than inventing members).
 
     Shape: the wildcard side is a prefix-strip + supertype-closure join +
     flatMap-by-join (never per-row loops); the closure reuses the
@@ -232,7 +241,33 @@ def resolve_imports(
         .filter(F.col("is_static"))
         .select("importer", "owner", "member")
     )
-    return exact_hits.unionByName(wild_hits).distinct()
+    resolved = exact_hits.unionByName(wild_hits).distinct()
+    if not infer_missing:
+        return resolved
+    resolved = resolved.select(
+        "*",
+        F.lit(False).alias("is_inferred"),
+        F.lit(None).cast("string").alias("inferred_id"),
+    )
+    inferred = (
+        exact.join(
+            members,
+            (exact["__base"] == members["owner"])
+            & (exact["__name"] == members["member"]),
+            "left_anti",
+        )
+        .select(
+            "importer",
+            F.col("__base").alias("owner"),
+            F.col("__name").alias("member"),
+            F.lit(True).alias("is_inferred"),
+            inferred_id_col(F.concat_ws(".", "__base", "__name")).alias(
+                "inferred_id"
+            ),
+        )
+        .distinct()
+    )
+    return resolved.unionByName(inferred)
 
 
 # implicit-cast compatibility: (expected, candidate) pairs that earn

@@ -917,15 +917,16 @@ def q_events_sessions(spark, sf_dir):
     window sum — the stateful-operator shape (applyInPandasWithState
     analog) expressed as pure window algebra."""
     ev = t(spark, sf_dir, "events")
-    order = [F.asc("ts"), F.asc("event_id")]
-    w = Window.partitionBy("user_id").orderBy(*order)
+    # ONE window spec, derived frames: identical partitioning+ordering
+    # guarantees the lag and the cumulative sum share a single
+    # Exchange+Sort (verified via .explain — one Window node pair over
+    # one sort; the round-2 +19% was VM noise, not a second sort)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     # parquet stores TIMESTAMP_NTZ; session tz is UTC so the cast is exact
     ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = ts_us - F.lag(ts_us).over(w)
     is_new = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
-    wsum = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     return (
         ev.withColumn("session_idx", F.sum(is_new).over(wsum))
         .groupBy("user_id", "session_idx")
@@ -947,6 +948,126 @@ SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
         FROM events))
 GROUP BY user_id, session_idx
+"""
+
+
+def q_eog_corpus_reach(spark, sf_dir):
+    """Branched EOG from the REAL corpus (round-2 gap: branch/cond_value
+    existed only in planted key graphs). Per document, the 10-token
+    chunk sequence is the EOG (reference EvaluationOrderGraphPass.kt:
+    872-877 emits branch structure with BRANCH properties); a chunk
+    whose token list contains the entity 'spark' is a GUARD: it emits a
+    true-branch edge to the next chunk and a false-branch edge skipping
+    one chunk, with the condition constant-folded from the text
+    (even character count). flag_unreachable_edges kills the branch
+    contradicting the folded condition (UnreachableEOGPass.kt:43-80) and
+    bfs_reach refuses dead edges (ControlFlowSensitiveDFGPass.kt:
+    211-213), so skipped chunks drop out with corpus-derived structure.
+    Output: every (doc_id, chunk_idx) reachable from chunk 0 with min
+    hops; the oracle replays the same semantics as a recursive CTE."""
+    from .operators import canonicalize
+    from .operators.extract import flag_unreachable_edges
+
+    docs = t_par(spark, sf_dir, "documents")
+    toks = textstats.doc_tokens(F.col("text"))
+    chunks = (
+        docs.filter(F.size(toks) > 0)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.posexplode(
+                F.transform(chunk_array(toks, 10), lambda c: F.array_join(c, " "))
+            ).alias("chunk_idx", "chunk_text"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.array_contains(F.split("chunk_text", " "), "spark").alias("guard"),
+            (F.length("chunk_text") % 2 == 0).alias("cond_value"),
+        )
+    )
+    node = F.col("doc_id") * 1000 + F.col("chunk_idx")
+    src = chunks.select(
+        node.alias("src"), "doc_id", "chunk_idx", "guard", "cond_value"
+    )
+    tgt = chunks.select(
+        F.col("doc_id").alias("__d"), F.col("chunk_idx").alias("__i")
+    )
+
+    def hop(n, branch, cond):
+        e = (
+            src.join(
+                tgt,
+                (F.col("doc_id") == F.col("__d"))
+                & (F.col("__i") == F.col("chunk_idx") + n),
+            )
+            .select(
+                "src",
+                (F.col("__d") * 1000 + F.col("__i")).alias("dst"),
+                branch.alias("branch"),
+                cond.alias("cond_value"),
+                "guard",
+            )
+        )
+        return e
+
+    nulls = F.lit(None).cast("string")
+    nullb = F.lit(None).cast("boolean")
+    linear = hop(1, nulls, nullb).filter(~F.col("guard"))
+    br_true = hop(1, F.lit("true"), F.col("cond_value")).filter(F.col("guard"))
+    br_false = hop(2, F.lit("false"), F.col("cond_value")).filter(F.col("guard"))
+    edges = flag_unreachable_edges(
+        linear.unionByName(br_true).unionByName(br_false).drop("guard")
+    )
+    seeds = chunks.filter(F.col("chunk_idx") == 0).select(node.alias("node"))
+    reach = canonicalize.bfs_reach(
+        edges, seeds, src="src", dst="dst", max_hops=32
+    )
+    return reach.select(
+        (F.col("node") / 1000).cast("long").alias("doc_id"),
+        (F.col("node") % 1000).alias("chunk_idx"),
+        F.col("hops").cast("int").alias("hops"),
+    )
+
+
+SQL_EOG_CORPUS_REACH = f"""
+WITH RECURSIVE chunks AS (
+  SELECT doc_id, CAST(u[2] AS BIGINT) AS chunk_idx,
+         list_contains(string_split(u[1], ' '), 'spark') AS guard,
+         length(u[1]) % 2 = 0 AS cond_value
+  FROM (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           unnest(list_zip(chunks, range(0, len(chunks)))) AS u
+    FROM (
+      SELECT doc_id,
+             list_transform(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)),
+               i -> array_to_string(toks[i*10+1 : i*10+10], ' ')) AS chunks
+      FROM (SELECT doc_id, {TOKEN_SQL} AS toks FROM documents)
+      WHERE len(toks) > 0))
+), edges AS (
+  SELECT s.doc_id, s.chunk_idx AS src, d.chunk_idx AS dst
+  FROM chunks s JOIN chunks d
+    ON s.doc_id = d.doc_id AND d.chunk_idx = s.chunk_idx + 1
+  WHERE NOT s.guard
+  UNION ALL
+  SELECT s.doc_id, s.chunk_idx, d.chunk_idx
+  FROM chunks s JOIN chunks d
+    ON s.doc_id = d.doc_id AND d.chunk_idx = s.chunk_idx + 1
+  WHERE s.guard AND s.cond_value          -- true branch lives
+  UNION ALL
+  SELECT s.doc_id, s.chunk_idx, d.chunk_idx
+  FROM chunks s JOIN chunks d
+    ON s.doc_id = d.doc_id AND d.chunk_idx = s.chunk_idx + 2
+  WHERE s.guard AND NOT s.cond_value      -- false branch lives
+), walk AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS chunk_idx, 0 AS hops
+  FROM chunks WHERE chunk_idx = 0
+  UNION ALL
+  SELECT e.doc_id, e.dst, w.hops + 1
+  FROM walk w JOIN edges e ON e.doc_id = w.doc_id AND e.src = w.chunk_idx
+  WHERE w.hops < 32
+)
+SELECT doc_id, chunk_idx, CAST(MIN(hops) AS INT) AS hops
+FROM walk GROUP BY doc_id, chunk_idx
 """
 
 
@@ -2285,6 +2406,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "canon_scc": (q_canon_scc, SQL_CANON_SCC),
     "reach_bfs": (q_reach_bfs, SQL_REACH_BFS),
     "eog_reach_live": (q_eog_reach_live, SQL_EOG_REACH_LIVE),
+    "eog_corpus_reach": (q_eog_corpus_reach, SQL_EOG_CORPUS_REACH),
     "link_fptr_calls": (q_link_fptr_calls, SQL_LINK_FPTR_CALLS),
     "dfg_reaching_defs": (q_dfg_reaching_defs, SQL_DFG_REACHING_DEFS),
     "events_order_check": (q_events_order_check, SQL_EVENTS_ORDER_CHECK),

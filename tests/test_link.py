@@ -215,3 +215,31 @@ def test_scope_ancestors_checkpoint_dir_equivalence(spark, tmp_path):
         )
     )
     assert base == ck and (4, 1, 3) in base
+
+
+def test_resolve_imports_infer_missing(spark):
+    """Specific imports with no matching member come back inferred
+    (Inference.kt analog); resolved rows and wildcard expansion are
+    unchanged."""
+    from cpg_spark.functions.hashing import inferred_id_py
+    from cpg_spark.operators.link import resolve_imports
+
+    imports = spark.createDataFrame(
+        [("A", "Base.real"), ("A", "Base.ghost"), ("B", "Base.*")],
+        "importer string, stmt string",
+    )
+    members = spark.createDataFrame(
+        [("Base", "real", True)], "owner string, member string, is_static boolean"
+    )
+    supers = spark.createDataFrame([], "type_name string, supertype string")
+    out = {
+        (r["importer"], r["owner"], r["member"]): r
+        for r in resolve_imports(
+            imports, members, supers, infer_missing=True
+        ).collect()
+    }
+    assert not out[("A", "Base", "real")]["is_inferred"]
+    assert not out[("B", "Base", "real")]["is_inferred"]
+    ghost = out[("A", "Base", "ghost")]
+    assert ghost["is_inferred"]
+    assert ghost["inferred_id"] == inferred_id_py("Base.ghost")
