@@ -41,6 +41,12 @@ HEADLINE = [
     "dd_simhash",
     "sim_cosine_topk",
     "sim_lsh_buckets",
+    # round-3 flagship operators: DFA typestate over the event stream,
+    # dead-branch-eliminated BFS over corpus chunk EOGs, and the
+    # operation-production string chain
+    "events_order_dfa",
+    "eog_corpus_reach",
+    "sa_ops_grammar",
 ]
 
 

@@ -215,9 +215,23 @@ def bfs_reach(
     which refuses to follow EOG edges marked unreachable.
 
     Each round: frontier ⋈ edges → candidates, minus visited (anti-join),
-    checkpoint. Terminates when the frontier empties or max_hops."""
+    checkpoint. Terminates when the frontier empties or max_hops. The
+    edge set is materialized ONCE up front (same as connected_components)
+    — without this, every hop re-executes the edge table's upstream
+    lineage (e.g. a tokenize/chunk kernel), multiplying the scan cost by
+    the graph diameter."""
     if honor_unreachable and "unreachable" in edges.columns:
         edges = edges.filter(~F.coalesce(F.col("unreachable"), F.lit(False)))
+    edges = _ckpt(edges.select(src, dst), checkpoint_dir)
+    # adaptive layout, same rationale as connected_components: a
+    # metadata-sized graph must not pay full shuffle width times the
+    # graph diameter in driver round-trips; a web-sized graph keeps the
+    # session's width
+    spark = edges.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    nparts = max(1, min(width, edges.count() // 50_000 + 1))
+    if nparts < width:
+        edges = _ckpt(edges.repartition(nparts, src), checkpoint_dir)
     visited = _ckpt(
         seeds.select(F.col("node"), F.lit(0).alias("hops")), checkpoint_dir
     )
@@ -236,6 +250,66 @@ def bfs_reach(
         visited = _ckpt(visited.unionByName(nxt), checkpoint_dir)
         frontier = nxt
     return visited
+
+
+def bfs_reach_grouped(
+    edges: DataFrame,
+    seeds: DataFrame,
+    group_col: str,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 64,
+    honor_unreachable: bool = True,
+) -> DataFrame:
+    """Per-group BFS twin of bfs_reach for graphs that are MANY SMALL
+    components keyed by a group column (one graph per document/function
+    — the dominant shape at 10^12-document scale). The global frontier
+    loop pays one driver round-trip per hop, so its wall-clock grows
+    with the DIAMETER of the largest graph; this cogrouped pandas
+    variant solves every group's walk locally in one shuffle — hop
+    count bounded per group, millions of groups in parallel, zero
+    driver iterations. Same unreachable-edge consumption contract.
+
+    edges(group_col, src, dst[, unreachable]), seeds(group_col, node).
+    Returns (group_col, node, hops) with minimal hops — identical to
+    bfs_reach run per group (golden-tested equivalence)."""
+    import pandas as pd
+
+    if honor_unreachable and "unreachable" in edges.columns:
+        edges = edges.filter(~F.coalesce(F.col("unreachable"), F.lit(False)))
+    e = edges.select(group_col, F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    s = seeds.select(group_col, F.col("node").alias("__seed"))
+    ftypes = {f.name: f.dataType.simpleString() for f in e.schema.fields}
+    out_schema = f"{group_col} {ftypes[group_col]}, node {ftypes['__s']}, hops int"
+
+    def solve(key, e_pdf: pd.DataFrame, s_pdf: pd.DataFrame) -> pd.DataFrame:
+        adj: dict = {}
+        for a, b in zip(e_pdf["__s"], e_pdf["__d"]):
+            adj.setdefault(a, []).append(b)
+        seen: dict = {}
+        frontier = sorted(set(s_pdf["__seed"]))
+        hops = 0
+        while frontier and hops <= max_hops:
+            nxt = set()
+            for n in frontier:
+                if n not in seen:
+                    seen[n] = hops
+                    nxt.update(t for t in adj.get(n, ()) if t not in seen)
+            frontier = sorted(nxt)
+            hops += 1
+        return pd.DataFrame(
+            {
+                group_col: [key[0]] * len(seen),
+                "node": list(seen),
+                "hops": list(seen.values()),
+            }
+        )
+
+    return (
+        e.groupBy(group_col)
+        .cogroup(s.groupBy(group_col))
+        .applyInPandas(solve, out_schema)
+    )
 
 
 def _tarjan_driver(e: DataFrame) -> DataFrame:

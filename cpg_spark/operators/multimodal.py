@@ -1,10 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, processed with Arrow-batched pandas UDFs over mapInPandas.
 
-The decode step is STUBBED (image/audio libraries are not in this
-container — see decode_image_batch): the Spark-side plumbing — schema,
-partitioning, UDF signature, Arrow batch shape — is real and tested.
-On a cluster with PIL/ffmpeg available, swap the stub body only.
+Decode depth is tiered by what the environment allows:
+  * HEADER decode is REAL, stdlib-only (struct over the container
+    formats): PNG/GIF/BMP/JPEG dimensions, WAV sample rate / channels /
+    duration. No PIL/ffmpeg needed.
+  * PIXEL/SAMPLE decode stays a clearly-marked stub
+    (decode_pixels_stub): the image/audio codec libraries are not in
+    this container; a real deployment swaps that one function body.
+The Spark-side plumbing — schema, partitioning, UDF signature, Arrow
+batch shape — is real and tested either way.
 
 Reference lineage: the per-language frontend boundary
 (cpg-language-python PythonLanguageFrontend.kt:89-91 crosses into an
@@ -14,6 +19,7 @@ Arrow batches, the only sanctioned Python hot path.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -36,6 +42,9 @@ MEDIA_META = StructType(
         StructField("magic", StringType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("duration_ms", IntegerType()),
         StructField("error", StringType()),
     ]
 )
@@ -67,37 +76,134 @@ def sniff_magic(payload: bytes | None) -> str:
     return "unknown"
 
 
-def decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
-    """STUB decode: a real deployment replaces this body with
-    PIL.Image.open over each payload. Here it returns deterministic fake
-    dimensions derived from the byte length so the downstream plumbing
-    (schema, joins, partitioning) is exercised end to end."""
-    n = payloads.str.len().fillna(0).astype("int64")
-    return pd.DataFrame(
-        {
-            "width": (n % 640 + 1).astype("int32"),
-            "height": (n % 480 + 1).astype("int32"),
-            "error": pd.Series([None] * len(payloads), dtype="object"),
-        }
+def parse_header(payload: bytes | None) -> dict:
+    """REAL header-level decode, stdlib struct only — the metadata a
+    curation pipeline filters on (resolution gates, sample-rate gates,
+    duration caps) without ever touching a codec.
+
+    Supported containers:
+      PNG  — IHDR width/height (big-endian u32 at offset 16)
+      GIF  — logical screen w/h (little-endian u16 at offset 6)
+      BMP  — BITMAPINFOHEADER w/h (little-endian i32 at offset 18)
+      JPEG — SOFn segment scan for height/width
+      WAV  — RIFF/WAVE fmt chunk: channels, sample rate; data chunk
+             size → duration_ms
+    Unknown/truncated payloads return error='unsupported'/'truncated'
+    with NULL fields (skip, don't fail — the frontend contract)."""
+    out = {
+        "width": None, "height": None, "sample_rate": None,
+        "channels": None, "duration_ms": None, "error": None,
+    }
+    try:
+        if not payload:
+            out["error"] = "empty"
+        elif payload.startswith(b"\x89PNG"):
+            if len(payload) >= 24:
+                w, h = struct.unpack(">II", payload[16:24])
+                out["width"], out["height"] = w, h
+            else:
+                out["error"] = "truncated"
+        elif payload.startswith((b"GIF87a", b"GIF89a")):
+            if len(payload) >= 10:
+                w, h = struct.unpack("<HH", payload[6:10])
+                out["width"], out["height"] = w, h
+            else:
+                out["error"] = "truncated"
+        elif payload.startswith(b"BM"):
+            if len(payload) >= 26:
+                w, h = struct.unpack("<ii", payload[18:26])
+                out["width"], out["height"] = w, abs(h)  # h<0 = top-down
+            else:
+                out["error"] = "truncated"
+        elif payload.startswith(b"\xff\xd8\xff"):
+            out.update(_jpeg_dims(payload))
+        elif payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
+            out.update(_wav_params(payload))
+        else:
+            out["error"] = "unsupported"
+    except Exception:  # malformed container: never fail the batch
+        out["error"] = "malformed"
+    return out
+
+
+def _jpeg_dims(payload: bytes) -> dict:
+    """Walk JPEG segments to the first SOFn frame header."""
+    i = 2
+    n = len(payload)
+    while i + 9 <= n:
+        if payload[i] != 0xFF:
+            i += 1
+            continue
+        marker = payload[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+            return {"width": w, "height": h}
+        i += 2 + seg_len
+    return {"error": "truncated"}
+
+
+def _wav_params(payload: bytes) -> dict:
+    """RIFF chunk walk: fmt → channels/sample_rate/byte_rate,
+    data → duration."""
+    i = 12
+    n = len(payload)
+    channels = rate = byte_rate = data_size = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= n:
+            channels, rate, byte_rate = struct.unpack(
+                "<HIi", payload[i + 10 : i + 20]
+            )
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate is None:
+        return {"error": "truncated"}
+    out = {"sample_rate": rate, "channels": channels}
+    if data_size is not None and byte_rate:
+        out["duration_ms"] = int(data_size * 1000 // byte_rate)
+    return out
+
+
+def decode_pixels_stub(payloads: pd.Series) -> pd.Series:
+    """PIXEL decode stub — the one function a real deployment replaces
+    with PIL.Image.open / an audio codec. The container lacks those
+    libraries, so this raises by contract rather than fake pixels."""
+    raise NotImplementedError(
+        "pixel/sample decode requires PIL/ffmpeg (absent in this "
+        "environment); header-level decode is real — see parse_header"
     )
+
+
+_INT_FIELDS = ("width", "height", "sample_rate", "channels", "duration_ms")
 
 
 def media_metadata(media: DataFrame) -> DataFrame:
     """(media_id, payload:binary, media_type) -> MEDIA_META rows via
-    mapInPandas: one Arrow batch in, one metadata frame out."""
+    mapInPandas: one Arrow batch in, one metadata frame out; header
+    fields decoded with stdlib struct (parse_header)."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = decode_image_batch(pdf["payload"])
+            hdrs = [parse_header(p) for p in pdf["payload"]]
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": pdf["payload"].str.len().fillna(0).astype("int32"),
                     "magic": pdf["payload"].map(sniff_magic),
-                    "width": dims["width"],
-                    "height": dims["height"],
-                    "error": dims["error"],
+                    **{
+                        f: pd.array([h[f] for h in hdrs], dtype="Int32")
+                        for f in _INT_FIELDS
+                    },
+                    "error": pd.Series(
+                        [h["error"] for h in hdrs], dtype="object"
+                    ),
                 }
             )
             yield out

@@ -116,3 +116,40 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         char_poly_hash_col(norm).alias("fp"),
         F.length("text").alias("n_chars_text"),
     )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document top-k salient terms by tf·(N/df) — the corpus-level
+    term-weighting a training-data pipeline uses for keyword tagging and
+    topic-balanced sampling. Deliberately N/df, NOT log(N/df): the
+    logarithm's last-ulp behavior is libm-dependent, while count
+    arithmetic and one IEEE division are bit-reproducible across engines
+    (the repo-wide oracle-exactness rule). Rankings per term are
+    identical; cross-term weighting is linear instead of logarithmic.
+
+    Shape: tokenize (map) → (doc, term) counts → term df (combinable
+    agg) → broadcast 1-row corpus total → window top-k per doc. Two
+    shuffles (term counts, df) plus the top-k sort; no driver actions.
+    """
+    from .sampling import top_k_per_group
+
+    base = docs.select("doc_id", F.explode(doc_tokens(F.col("text"))).alias("term"))
+    tf = base.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tab = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    totals = tf.agg(F.count_distinct("doc_id").alias("__n"))
+    scored = (
+        tf.join(df_tab, "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("__n")).cast("double") / F.col("df")).alias(
+                "score"
+            ),
+        )
+    )
+    return top_k_per_group(
+        scored, ["doc_id"], "score", k, descending=True, tie_break="term"
+    )

@@ -2017,6 +2017,64 @@ FROM documents
 # 5. deduplication
 
 
+def q_ts_tfidf_topk(spark, sf_dir):
+    """Corpus-level term weighting: per-document top-3 salient terms by
+    tf·(N/df) with deterministic tie-break (textstats.tfidf_top_terms;
+    division-only weighting so the oracle reproduces scores
+    bit-for-bit)."""
+    return textstats.tfidf_top_terms(t_par(spark, sf_dir, "documents"), k=3)
+
+
+SQL_TS_TFIDF_TOPK = f"""
+WITH base AS (
+  SELECT doc_id, unnest(toks) AS term
+  FROM (SELECT doc_id, {TOKEN_SQL} AS toks FROM documents)
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM base GROUP BY 1, 2
+), dfx AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), tot AS (
+  SELECT COUNT(DISTINCT doc_id) AS n FROM tf
+)
+SELECT doc_id, term, tf, df, CAST(tf * n AS DOUBLE) / df AS score
+FROM tf JOIN dfx USING (term) CROSS JOIN tot
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 3
+"""
+
+
+def q_ts_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (sampling.stratified_sample):
+    per-language keep rates over the content-hash space — same rows
+    selected in every run, at any parallelism, and by the oracle's
+    identical hash fold. No join, no shuffle: one codegen'd CASE chain
+    on the scan."""
+    from .operators.sampling import stratified_sample
+
+    docs = t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs,
+        key_col="doc_id",
+        strata_col="lang",
+        rates={"en": 0.5, "de": 0.25},
+        default_rate=0.1,
+        salt="s3",
+    )
+    return out.select("doc_id", "lang")
+
+
+from .operators.sampling import sample_hash_sql as _sample_hash_sql  # noqa: E402
+
+_STRAT_HASH = _sample_hash_sql("doc_id", "s3")
+
+SQL_TS_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_STRAT_HASH} < CASE lang
+  WHEN 'en' THEN {int(0.5 * CHAR_POLY_P)}
+  WHEN 'de' THEN {int(0.25 * CHAR_POLY_P)}
+  ELSE {int(0.1 * CHAR_POLY_P)} END
+"""
+
+
 def q_dd_exact(spark, sf_dir):
     return dedup.exact_dup_map(t_par(spark, sf_dir, "documents"))
 
@@ -2439,6 +2497,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ts_quality": (q_ts_quality, SQL_TS_QUALITY),
     "ts_lang_id": (q_ts_lang_id, SQL_TS_LANG_ID),
     "ts_fingerprint": (q_ts_fingerprint, SQL_TS_FINGERPRINT),
+    "ts_tfidf_topk": (q_ts_tfidf_topk, SQL_TS_TFIDF_TOPK),
+    "ts_stratified_sample": (q_ts_stratified_sample, SQL_TS_STRATIFIED_SAMPLE),
     # dedup
     "dd_exact": (q_dd_exact, SQL_DD_EXACT),
     "dd_minhash": (q_dd_minhash, SQL_DD_MINHASH),

@@ -258,3 +258,50 @@ def test_compress_chains_pure_cycle_drops(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {(r["src"], r["dst"], r["hops"]) for r in compress_chains(df).collect()}
     assert got == {(10, 11, 1)}
+
+
+def test_bfs_reach_grouped_matches_global(spark):
+    """The per-group cogrouped BFS (the many-small-graphs scale shape)
+    is golden-equal to the global frontier loop on the same graphs,
+    including unreachable-edge consumption."""
+    from pyspark.sql import functions as F
+
+    from cpg_spark.operators.canonicalize import bfs_reach, bfs_reach_grouped
+
+    edges = spark.createDataFrame(
+        [
+            # group g1: chain 1->2->3 with a dead edge 2->4
+            ("g1", 1, 2, False), ("g1", 2, 3, False), ("g1", 2, 4, True),
+            # group g2: diamond 1->2, 1->3, 2->4, 3->4
+            ("g2", 1, 2, False), ("g2", 1, 3, False),
+            ("g2", 2, 4, False), ("g2", 3, 4, False),
+            # group g3: cycle 1->2->1 plus tail 2->3
+            ("g3", 1, 2, False), ("g3", 2, 1, False), ("g3", 2, 3, False),
+        ],
+        "g string, src long, dst long, unreachable boolean",
+    )
+    seeds = spark.createDataFrame(
+        [("g1", 1), ("g2", 1), ("g3", 1)], "g string, node long"
+    )
+    grouped = {
+        (r["g"], r["node"]): r["hops"]
+        for r in bfs_reach_grouped(edges, seeds, "g").collect()
+    }
+    # global equivalent: composite node ids per group
+    comp_edges = edges.select(
+        F.concat_ws("#", "g", F.col("src").cast("string")).alias("src"),
+        F.concat_ws("#", "g", F.col("dst").cast("string")).alias("dst"),
+        "unreachable",
+    )
+    comp_seeds = seeds.select(
+        F.concat_ws("#", "g", F.col("node").cast("string")).alias("node")
+    )
+    global_ = {
+        tuple(r["node"].split("#")): r["hops"]
+        for r in bfs_reach(comp_edges, comp_seeds).collect()
+    }
+    global_ = {(g, int(n)): h for (g, n), h in global_.items()}
+    assert grouped == global_
+    assert grouped[("g1", 3)] == 2 and ("g1", 4) not in grouped
+    assert grouped[("g2", 4)] == 2
+    assert grouped[("g3", 3)] == 2
