@@ -135,8 +135,17 @@ Reproduce: `python scripts/scaling_bench.py {n_pages}`
 records it per round as BENCH_r{{N}}.json. See the `queries` map for
 per-operator seconds and `kg_triples_per_sec` for pipeline throughput.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # preserve the hand-maintained tail (per-round snapshots, extra
+    # methodology) across regenerations
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    marker = "<!-- hand-maintained below; scaling_bench preserves this -->"
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        if marker in old:
+            tail = old.split(marker, 1)[1]
+    with open(path, "w") as f:
+        f.write(md + "\n" + marker + tail)
     print("wrote BENCH/BASELINE.md")
 
 
