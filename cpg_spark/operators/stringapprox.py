@@ -261,17 +261,57 @@ def productions_from_dfg(
     # operation nodes: nt -> op(receiver) — the OperationProduction
     # emission (reference GrammerCreation handles CallExpression ->
     # createOperationProduction, Operations.kt:37-85); receiver is the
-    # single incoming edge at pos 0
-    op_rows = (
+    # single incoming edge at pos 0. A bare 'repeat' op with a literal
+    # argument wired at pos 1 gets its amount folded into the spec —
+    # the reference's own plan for Repeat ("use a ValueEvaluator to get
+    # the Int value of amount", Repeat.kt:32-40); non-literal amounts
+    # stay 'repeat' (unknown count -> star approximation).
+    op_base = (
         member.filter(F.col("kind") == "op")
         .join(ein, (member["nt"] == ein["parent_nt"]) & (member["hotspot_id"] == ein["hotspot_id"]))
         .filter(F.col("pos") == 0)
         .select(
             member["hotspot_id"].alias("hotspot_id"),
             F.col("nt"),
+            F.col("text").alias("__spec"),
+            F.col("child_nt"),
+        )
+    )
+    amounts = (
+        member.filter((F.col("kind") == "op") & (F.col("text") == "repeat"))
+        .join(ein, (member["nt"] == ein["parent_nt"]) & (member["hotspot_id"] == ein["hotspot_id"]))
+        .filter(F.col("pos") == 1)
+        .join(
+            nodes.filter(F.col("kind") == "lit").select(
+                F.col("node_id").alias("__amt_node"),
+                F.col("text").alias("__amt"),
+            ),
+            F.col("child_nt") - 1 == F.col("__amt_node"),
+        )
+        .select(
+            member["hotspot_id"].alias("hotspot_id"),
+            F.col("nt").alias("__amt_nt"),
+            F.col("__amt"),
+        )
+    )
+    op_rows = (
+        op_base.join(
+            amounts,
+            (op_base["hotspot_id"] == amounts["hotspot_id"])
+            & (op_base["nt"] == amounts["__amt_nt"]),
+            "left",
+        )
+        .select(
+            op_base["hotspot_id"].alias("hotspot_id"),
+            op_base["nt"].alias("nt"),
             F.lit(0).cast("int").alias("prod_idx"),
             F.lit("o").alias("s1_kind"),
-            F.col("text").alias("s1"),
+            F.when(
+                (F.col("__spec") == "repeat") & F.col("__amt").rlike("^[0-9]+$"),
+                F.concat(F.lit("repeat:"), F.col("__amt")),
+            )
+            .otherwise(F.col("__spec"))
+            .alias("s1"),
             F.lit("n").alias("s2_kind"),
             F.col("child_nt").cast("string").alias("s2"),
         )

@@ -368,3 +368,36 @@ def test_productions_from_dfg_op_nodes(spark):
     row = pats.collect()[0]
     assert _full(row["regex"], "HIHI")
     assert not _full(row["regex"], "HI") and not _full(row["regex"], "hihi")
+
+
+def test_repeat_amount_resolved_from_dfg(spark):
+    """A bare 'repeat' op whose amount is a literal DFG argument (pos 1)
+    gets the count folded into the production — the reference's stated
+    plan for Repeat (Repeat.kt: use the evaluator to get the Int value);
+    a non-literal amount degrades to the star approximation."""
+    nodes = spark.createDataFrame(
+        [
+            (0, "lit", "ab"), (1, "op", "repeat"), (2, "lit", "3"),
+            # second hotspot: amount comes from an op (not a literal)
+            (10, "lit", "cd"), (11, "op", "repeat"), (12, "op", "mystery"),
+            (13, "lit", "9"),
+        ],
+        "node_id long, kind string, text string",
+    )
+    edges = spark.createDataFrame(
+        [
+            (0, 1, 0), (2, 1, 1),
+            (10, 11, 0), (12, 11, 1), (13, 12, 0),
+        ],
+        "child long, parent long, pos int",
+    )
+    hotspots = spark.createDataFrame(
+        [("fixed", 1), ("var", 11)], "hotspot_id string, node_id long"
+    )
+    prods = stringapprox.productions_from_dfg(nodes, edges, hotspots)
+    pats = {r["hotspot_id"]: r for r in stringapprox.grammar_patterns(prods).collect()}
+    assert _full(pats["fixed"]["regex"], "ababab")
+    assert not _full(pats["fixed"]["regex"], "abab")
+    # unknown amount: star over-approximation accepts any repetition
+    assert _full(pats["var"]["regex"], "") and _full(pats["var"]["regex"], "cdcdcdcd")
+    assert not _full(pats["var"]["regex"], "ce")
