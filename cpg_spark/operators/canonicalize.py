@@ -202,11 +202,21 @@ def bfs_reach(
     max_hops: int = 20,
     honor_unreachable: bool = True,
     checkpoint_dir: str | None = None,
+    with_pred: bool = False,
 ) -> DataFrame:
     """All nodes reachable from `seeds` (column `node`) following edges
     forward, with minimal hop count — the reference's BFS path followers
     (Extensions.kt:210-435 followNextDFGEdgesUntilHit et al.) as
     iterative frontier joins with an anti-join visited set.
+
+    with_pred=True additionally returns each node's shortest-path
+    predecessor (`pred`, NULL for seeds; deterministic min-id tie-break
+    among equal-hop discoverers) — the (pred → node) pairs are exactly
+    a shortest-path tree's PATH EDGES, the reference's
+    SubgraphWalker.getEOGPathEdges result shape (SubgraphWalker.java:
+    193-231 returns the edges along the walked path, not just the
+    reached set); following pred links from any node reconstructs one
+    shortest path without ever materializing unbounded path arrays.
 
     If the edge table carries an `unreachable` flag (emitted by
     extract.flag_unreachable_edges, the UnreachableEOGPass analog) and
@@ -232,19 +242,33 @@ def bfs_reach(
     nparts = max(1, min(width, edges.count() // 50_000 + 1))
     if nparts < width:
         edges = _ckpt(edges.repartition(nparts, src), checkpoint_dir)
-    visited = _ckpt(
-        seeds.select(F.col("node"), F.lit(0).alias("hops")), checkpoint_dir
-    )
+    seed_cols = [F.col("node"), F.lit(0).alias("hops")]
+    if with_pred:
+        node_type = edges.schema[src].dataType
+        seed_cols.append(F.lit(None).cast(node_type).alias("pred"))
+    visited = _ckpt(seeds.select(*seed_cols), checkpoint_dir)
     frontier = visited
     for hop in range(1, max_hops + 1):
-        nxt = _ckpt(
-            frontier.join(edges, frontier["node"] == edges[src])
-            .select(F.col(dst).alias("node"))
-            .distinct()
-            .join(visited, "node", "left_anti")
-            .select("node", F.lit(hop).alias("hops")),
-            checkpoint_dir,
-        )
+        if with_pred:
+            cand = frontier.join(edges, frontier["node"] == edges[src]).select(
+                F.col(dst).alias("__nxt"), frontier["node"].alias("__p")
+            )
+            nxt = (
+                cand.groupBy("__nxt")
+                .agg(F.min("__p").alias("pred"))
+                .withColumnRenamed("__nxt", "node")
+                .join(visited.select("node"), "node", "left_anti")
+                .select("node", F.lit(hop).alias("hops"), "pred")
+            )
+        else:
+            nxt = (
+                frontier.join(edges, frontier["node"] == edges[src])
+                .select(F.col(dst).alias("node"))
+                .distinct()
+                .join(visited, "node", "left_anti")
+                .select("node", F.lit(hop).alias("hops"))
+            )
+        nxt = _ckpt(nxt, checkpoint_dir)
         if nxt.isEmpty():
             break
         visited = _ckpt(visited.unionByName(nxt), checkpoint_dir)

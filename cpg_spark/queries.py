@@ -437,6 +437,55 @@ SELECT node, CAST(MIN(hops) AS INT) AS hops FROM r GROUP BY node
 """
 
 
+def q_reach_bfs_paths(spark, sf_dir):
+    """Shortest-path TREE, not just reachability — the reference's
+    getEOGPathEdges returns the edges along the walked path
+    (SubgraphWalker.java:193-231): same planted graph as reach_bfs, with
+    each reached node's deterministic (min-id) shortest predecessor.
+    The (pred → node) pairs form the path-edge set; pred is NULL at
+    seeds. Oracle recomputes the min predecessor among equal-hop
+    discoverers relationally."""
+    cust = t(spark, sf_dir, "customer")
+    step1 = cust.filter(F.col("c_custkey") % 50 != 49).select(
+        F.col("c_custkey").alias("src"), (F.col("c_custkey") + 1).alias("dst")
+    )
+    step5 = cust.filter(F.col("c_custkey") % 50 <= 44).select(
+        F.col("c_custkey").alias("src"), (F.col("c_custkey") + 5).alias("dst")
+    )
+    edges = step1.union(step5)
+    seeds = cust.filter(F.col("c_custkey") % 300 == 0).select(
+        F.col("c_custkey").alias("node")
+    )
+    out = canonicalize.bfs_reach(edges, seeds, max_hops=15, with_pred=True)
+    return out.select(
+        "node",
+        F.col("hops").cast("int").alias("hops"),
+        # string-typed: a nullable int64 renders as float in the oracle
+        # fetch (same rationale as link_scope_inferred.decl_scope)
+        F.col("pred").cast("string").alias("pred"),
+    )
+
+
+SQL_REACH_BFS_PATHS = """
+WITH RECURSIVE e AS (
+  SELECT c_custkey AS src, c_custkey + 1 AS dst FROM customer WHERE c_custkey % 50 != 49
+  UNION ALL
+  SELECT c_custkey, c_custkey + 5 FROM customer WHERE c_custkey % 50 <= 44
+), r AS (
+  SELECT c_custkey AS node, 0 AS hops FROM customer WHERE c_custkey % 300 = 0
+  UNION
+  SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.node WHERE r.hops < 15
+), m AS (
+  SELECT node, MIN(hops) AS hops FROM r GROUP BY node
+)
+SELECT m.node, CAST(m.hops AS INT) AS hops,
+       CAST(MIN(p.node) AS VARCHAR) AS pred
+FROM m
+LEFT JOIN (e JOIN m p ON p.node = e.src) ON e.dst = m.node AND p.hops = m.hops - 1
+GROUP BY m.node, m.hops
+"""
+
+
 def q_link_fptr_calls(spark, sf_dir):
     """FunctionPointerCallResolver composed end to end (reference
     FunctionPointerCallResolver.kt: follow DFG edges backward from the
@@ -2463,6 +2512,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "canon_cc": (q_canon_cc, SQL_CANON_CC),
     "canon_scc": (q_canon_scc, SQL_CANON_SCC),
     "reach_bfs": (q_reach_bfs, SQL_REACH_BFS),
+    "reach_bfs_paths": (q_reach_bfs_paths, SQL_REACH_BFS_PATHS),
     "eog_reach_live": (q_eog_reach_live, SQL_EOG_REACH_LIVE),
     "eog_corpus_reach": (q_eog_corpus_reach, SQL_EOG_CORPUS_REACH),
     "link_fptr_calls": (q_link_fptr_calls, SQL_LINK_FPTR_CALLS),

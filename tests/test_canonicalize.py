@@ -305,3 +305,29 @@ def test_bfs_reach_grouped_matches_global(spark):
     assert grouped[("g1", 3)] == 2 and ("g1", 4) not in grouped
     assert grouped[("g2", 4)] == 2
     assert grouped[("g3", 3)] == 2
+
+
+def test_bfs_with_pred_builds_shortest_path_tree(spark):
+    """with_pred returns a valid shortest-path tree: following pred
+    links from any node reaches a seed in exactly `hops` steps, and
+    ties break on min predecessor id."""
+    from cpg_spark.operators.canonicalize import bfs_reach
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 3), (0, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    rows = {
+        r["node"]: r for r in bfs_reach(edges, seeds, with_pred=True).collect()
+    }
+    assert rows[0]["pred"] is None and rows[0]["hops"] == 0
+    # node 3 discovered from both 1 and 2 at hop 2 -> min pred = 1
+    assert rows[3]["pred"] == 1 and rows[3]["hops"] == 2
+    assert rows[4]["pred"] == 3
+    # walk pred links back to the seed in `hops` steps
+    for n, r in rows.items():
+        steps, cur = 0, n
+        while rows[cur]["pred"] is not None:
+            cur = rows[cur]["pred"]
+            steps += 1
+        assert cur == 0 and steps == r["hops"], (n, steps, r["hops"])
