@@ -92,3 +92,25 @@ def run_available_now(
     if sink_path is None:
         return w.format("memory").start()
     return w.format("parquet").option("path", sink_path).start()
+
+
+def dedup_page_stream(
+    pages_stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup for incremental crawls: re-crawled pages
+    whose NORMALIZED TEXT CONTENT is identical to one already seen
+    within the watermark are dropped (dropDuplicatesWithinWatermark —
+    state per fingerprint expires with the watermark, so memory is
+    bounded by the crawl window, not the crawl history). The
+    fingerprint is the same engine-portable polynomial the batch
+    dd_exact/ts_fingerprint operators key on, so batch and streaming
+    dedup agree on what counts as a duplicate."""
+    from ..functions.hashing import char_poly_hash_col
+
+    norm = F.regexp_replace(
+        F.lower(F.trim(extract_text_col(F.col("html")))), r"\s+", " "
+    )
+    fp = pages_stream.withColumn("fp", char_poly_hash_col(norm))
+    return fp.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["fp"]
+    )

@@ -83,3 +83,36 @@ def test_available_now_resume_processes_only_new_files(
     assert len(both) > len(first)
     key = lambda r: (r["window_start"], r["entity_id"])  # noqa: E731
     assert len({key(r) for r in both}) == len(both), "window re-emitted on resume"
+
+
+def test_dedup_page_stream_drops_recrawls(spark, tmp_path, pages_df):
+    """Identical re-crawled content within the watermark is dropped;
+    distinct pages all survive."""
+    from pyspark.sql import functions as F
+
+    from cpg_spark.streaming.pipeline import (
+        dedup_page_stream,
+        read_page_stream,
+        run_available_now,
+    )
+
+    d = str(tmp_path / "pages_dd")
+    base = pages_df.limit(10)
+    # re-crawl: same html under different urls, later timestamps
+    recrawl = base.select(
+        F.concat(F.col("url"), F.lit("?recrawl")).alias("url"),
+        (F.col("warc_ts") + F.expr("INTERVAL 10 MINUTES")).alias("warc_ts"),
+        "html",
+        "text",
+        "lang",
+    )
+    base.unionByName(recrawl).coalesce(1).write.mode("overwrite").parquet(d)
+
+    stream = dedup_page_stream(read_page_stream(spark, d))
+    q = run_available_now(stream, str(tmp_path / "ckdd"), "dd_stream")
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM dd_stream").collect()
+    # exactly one survivor per distinct content fingerprint
+    n_distinct = base.count()
+    assert len(out) == n_distinct
+    assert len({r["fp"] for r in out}) == n_distinct
