@@ -240,12 +240,14 @@ def _replace_regex(rx: str, old: str, new: str) -> str:
     rx = _WILDCARD.sub(lambda m: f"{m.group(1)}[^{eold}]", rx)
 
     # literal text outside classes: replace escaped/raw old outside [...]
-    out, i, depth = [], 0, 0
+    # and outside {m,n} quantifiers (repeat:n synthesizes those — their
+    # digits are counts, not literals, and must never be rewritten)
+    out, i, depth, in_quant = [], 0, 0, False
     while i < len(rx):
         ch = rx[i]
         if ch == "\\" and i + 1 < len(rx):
             nxt = rx[i + 1]
-            if depth == 0 and nxt == old:
+            if depth == 0 and not in_quant and nxt == old:
                 out.append(re.escape(new))
             else:
                 out.append(rx[i : i + 2])
@@ -255,7 +257,16 @@ def _replace_regex(rx: str, old: str, new: str) -> str:
             depth += 1
         elif ch == "]" and depth:
             depth -= 1
-        if depth == 0 and ch == old and ch not in "[]()|*+?.{}^$":
+        elif depth == 0 and ch == "{":
+            in_quant = True
+        elif depth == 0 and ch == "}":
+            in_quant = False
+        if (
+            depth == 0
+            and not in_quant
+            and ch == old
+            and ch not in "[]()|*+?.{}^$"
+        ):
             out.append(re.escape(new))
         else:
             out.append(ch)
@@ -279,10 +290,15 @@ def op_regex(spec: str, inner: str | None, target_cs: CharSet) -> str | None:
     name = parts[0]
     if name == "trim":
         return inner
-    if name == "upper":
-        return _case_map_regex(inner, upper=True)
-    if name == "lower":
-        return _case_map_regex(inner, upper=False)
+    if name in ("upper", "lower"):
+        # case-mapping a negative class or wildcard is NOT a per-char
+        # map ([^A] lowered is not [^a]: 'a' ∈ L([^A]) but lower('a')
+        # = 'a' ∉ L([^a])) — those constructs ARE synthesized here (the
+        # replace wildcard rewrite and sigma charset-stars), so fall
+        # back to the sound charset-star bound for them
+        if re.search(r"(^|[^\\])\[\^", inner) or _WILDCARD.search(inner):
+            return op_charset(spec, target_cs).to_regex_pattern()
+        return _case_map_regex(inner, upper=(name == "upper"))
     if name == "replace" and len(parts) == 3:
         return _replace_regex(inner, parts[1], parts[2])
     if name == "repeat":

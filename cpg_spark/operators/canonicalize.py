@@ -166,8 +166,6 @@ def connected_components(
     prev = None
     rounds = 0
     while True:
-        rounds += 1
-        _iter_guard(rounds, max_iter, "connected_components star loop")
         # lazy checkpoint: the checksum action both materializes the
         # iteration (truncating lineage) and tests convergence — one
         # driver round-trip per round instead of two
@@ -179,6 +177,10 @@ def connected_components(
         if cur == prev:
             break
         prev = cur
+        # count only NON-converged rounds, so converging exactly at the
+        # cap neither warns nor raises
+        rounds += 1
+        _iter_guard(rounds, max_iter, "connected_components star loop")
 
     # converged: e is a forest of depth-1 stars (u -> root), u > root;
     # min() guards against a node carrying two star edges at the cap
@@ -452,10 +454,12 @@ def scc(
     er = e
     outer_rounds = 0
     while True:
-        outer_rounds += 1
-        _iter_guard(outer_rounds, max_iter, "scc peel loop")
         if remaining.isEmpty():
             break
+        # guard counts completed-but-unfinished rounds: finishing on
+        # round max_iter exits above without a spurious warn/raise
+        _iter_guard(outer_rounds, max_iter, "scc peel loop")
+        outer_rounds += 1
         # (1) forward min-label propagation to fixpoint
         color = _ckpt(
             remaining.select("node", F.col("node").alias("color")), checkpoint_dir
@@ -463,8 +467,6 @@ def scc(
         prev = None
         inner_rounds = 0
         while True:
-            inner_rounds += 1
-            _iter_guard(inner_rounds, max_iter, "scc min-label propagation")
             incoming = (
                 er.join(
                     color.select(
@@ -494,6 +496,8 @@ def scc(
             if cur == prev:
                 break
             prev = cur
+            inner_rounds += 1
+            _iter_guard(inner_rounds, max_iter, "scc min-label propagation")
         # (2) backward reach of each root inside its color class
         ec = (
             er.join(

@@ -127,18 +127,28 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     (the repo-wide oracle-exactness rule). Rankings per term are
     identical; cross-term weighting is linear instead of logarithmic.
 
-    Shape: tokenize (map) → (doc, term) counts → term df (combinable
-    agg) → broadcast 1-row corpus total → window top-k per doc. Two
-    shuffles (term counts, df) plus the top-k sort; no driver actions.
+    Shape: one LINEAR pipeline over the expensive tokenize+explode
+    subtree — it runs exactly once, structurally (review finding: the
+    original tf → {df groupBy, totals agg, join} fan-out recomputed it
+    per consumer; Spark's exchange reuse did not kick in): (doc, term)
+    counts → per-term df as a count over a term-partitioned window →
+    broadcast 1-row corpus total (counted from the raw scan with a
+    size() filter, no explode) → window top-k per doc. Three shuffles
+    ((doc,term) agg, term window, doc top-k), no joins on the heavy
+    side, no driver actions.
     """
+    from pyspark.sql import Window
+
     from .sampling import top_k_per_group
 
     base = docs.select("doc_id", F.explode(doc_tokens(F.col("text"))).alias("term"))
     tf = base.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_tab = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    totals = tf.agg(F.count_distinct("doc_id").alias("__n"))
+    totals = (
+        docs.filter(F.size(doc_tokens(F.col("text"))) > 0)
+        .agg(F.count_distinct("doc_id").alias("__n"))
+    )
     scored = (
-        tf.join(df_tab, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(totals))
         .select(
             "doc_id",

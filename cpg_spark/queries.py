@@ -1034,7 +1034,10 @@ def q_eog_corpus_reach(spark, sf_dir):
             (F.length("chunk_text") % 2 == 0).alias("cond_value"),
         )
     )
-    node = F.col("doc_id") * 1000 + F.col("chunk_idx")
+    # composite STRING node ids: collision-free at any document length
+    # (an arithmetic doc_id*K + chunk_idx packing aliases chunk K of doc
+    # N with chunk 0 of doc N+1 once a document exceeds K chunks)
+    node = F.concat_ws("#", F.col("doc_id"), F.col("chunk_idx"))
     src = chunks.select(
         node.alias("src"), "doc_id", "chunk_idx", "guard", "cond_value"
     )
@@ -1051,7 +1054,7 @@ def q_eog_corpus_reach(spark, sf_dir):
             )
             .select(
                 "src",
-                (F.col("__d") * 1000 + F.col("__i")).alias("dst"),
+                F.concat_ws("#", F.col("__d"), F.col("__i")).alias("dst"),
                 branch.alias("branch"),
                 cond.alias("cond_value"),
                 "guard",
@@ -1072,8 +1075,8 @@ def q_eog_corpus_reach(spark, sf_dir):
         edges, seeds, src="src", dst="dst", max_hops=32
     )
     return reach.select(
-        (F.col("node") / 1000).cast("long").alias("doc_id"),
-        (F.col("node") % 1000).alias("chunk_idx"),
+        F.split("node", "#").getItem(0).cast("long").alias("doc_id"),
+        F.split("node", "#").getItem(1).cast("long").alias("chunk_idx"),
         F.col("hops").cast("int").alias("hops"),
     )
 

@@ -100,17 +100,28 @@ def dedup_page_stream(
     """Streaming exact dedup for incremental crawls: re-crawled pages
     whose NORMALIZED TEXT CONTENT is identical to one already seen
     within the watermark are dropped (dropDuplicatesWithinWatermark —
-    state per fingerprint expires with the watermark, so memory is
-    bounded by the crawl window, not the crawl history). The
-    fingerprint is the same engine-portable polynomial the batch
-    dd_exact/ts_fingerprint operators key on, so batch and streaming
-    dedup agree on what counts as a duplicate."""
+    state per key expires with the watermark, so memory is bounded by
+    the crawl window, not the crawl history).
+
+    The dedup KEY is the normalized text itself — exactly what batch
+    `dedup.exact_dup_map` partitions on, so batch and streaming agree
+    on what counts as a duplicate. Deliberately NOT the 30-bit
+    polynomial fingerprint alone: in a 10^9-space the birthday bound
+    reaches ~50% collision odds around 37k distinct pages per window,
+    and a collision would silently drop a distinct document. The
+    polynomial fp is still emitted as a column for observability /
+    downstream grouping; a state-size-constrained deployment can swap
+    the key for a 256-bit digest at negligible collision risk."""
     from ..functions.hashing import char_poly_hash_col
 
     norm = F.regexp_replace(
         F.lower(F.trim(extract_text_col(F.col("html")))), r"\s+", " "
     )
-    fp = pages_stream.withColumn("fp", char_poly_hash_col(norm))
-    return fp.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
-        ["fp"]
+    keyed = pages_stream.withColumn("__norm", norm).withColumn(
+        "fp", char_poly_hash_col(F.col("__norm"))
+    )
+    return (
+        keyed.withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["__norm"])
+        .drop("__norm")
     )

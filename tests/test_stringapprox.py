@@ -401,3 +401,36 @@ def test_repeat_amount_resolved_from_dfg(spark):
     # unknown amount: star over-approximation accepts any repetition
     assert _full(pats["var"]["regex"], "") and _full(pats["var"]["regex"], "cdcdcdcd")
     assert not _full(pats["var"]["regex"], "ce")
+
+
+def test_replace_never_rewrites_repeat_quantifiers():
+    """Regression (code review): replace with a digit old-char must not
+    rewrite the {n} counts a repeat production synthesizes."""
+    g = Grammar()
+    x0, x1, x2 = (g.add_nt() for _ in range(3))
+    g.add_prod(x0, ((T, "a2"),))
+    g.add_prod(x1, ((OP, "repeat:2", x0),))
+    g.add_prod(x2, ((OP, "replace:2:9", x1),))
+    cs = charset_approximation(g)
+    regular_approximation(g, {x2})
+    rx = grammar_to_regex(g, x2, cs)
+    assert _full(rx, "a9a9"), rx
+    assert not _full(rx, "a2a2"), rx
+
+
+def test_case_map_falls_back_on_negative_classes():
+    """Regression (code review): lower/upper over a regex containing a
+    negative class or wildcard must use the charset-star bound — a
+    per-char case map would invert the class ([^A] lowered is not
+    [^a])."""
+    g = Grammar()
+    e, c, b, d = (g.add_nt() for _ in range(4))
+    g.add_prod(e, ((T, "q"),))
+    g.add_prod(c, ((OP, "replace_any", e),))   # '.*'
+    g.add_prod(b, ((OP, "replace:A:y", c),))   # wildcard -> '[^A]*'
+    g.add_prod(d, ((OP, "lower", b),))
+    cs = charset_approximation(g)
+    regular_approximation(g, {d})
+    rx = grammar_to_regex(g, d, cs)
+    # 'a' ∈ L([^A]*) and lower('a') = 'a' — must stay accepted
+    assert _full(rx, "a"), rx
