@@ -42,11 +42,12 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_lsh_buckets",
     # round-3 flagship operators: DFA typestate over the event stream,
-    # dead-branch-eliminated BFS over corpus chunk EOGs, and the
-    # operation-production string chain
+    # dead-branch-eliminated BFS over corpus chunk EOGs, the
+    # operation-production string chain, and corpus term weighting
     "events_order_dfa",
     "eog_corpus_reach",
     "sa_ops_grammar",
+    "ts_tfidf_topk",
 ]
 
 
