@@ -293,3 +293,38 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
             F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return wide.select("doc_id", sh.alias("simhash"))
+
+
+def contamination_flags(
+    docs: DataFrame, benchmark: DataFrame, min_hits: int = 1
+) -> DataFrame:
+    """Benchmark DECONTAMINATION — the training-corpus hygiene pass that
+    flags documents sharing token n-gram shingles with a held-out
+    evaluation set (the standard contamination check run before
+    training on web text).
+
+    benchmark(sh long): the eval set's shingle-hash dictionary (build
+    with exploded_shingles/shingle_hash_array over the benchmark texts
+    — same portable hash, so the check is engine-reproducible).
+
+    Shape: docs shingle-explode (the shared kernel) → broadcast-join
+    against the benchmark dictionary (eval sets are dictionary-sized
+    next to a 100 TB corpus) → per-doc combinable hit count. Every doc
+    comes back with (n_hits, contaminated) — a LEFT join from docs, so
+    shingle-less docs report 0 hits rather than vanishing.
+    """
+    hits = (
+        shingle_index(docs.select("doc_id", F.lit("x").alias("lang"), "text"))
+        .join(F.broadcast(benchmark.select("sh").distinct()), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )

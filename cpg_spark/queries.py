@@ -2266,6 +2266,37 @@ JOIN sets sb ON sb.doc_id = b
 """
 
 
+def q_dd_contamination(spark, sf_dir):
+    """Benchmark decontamination (dedup.contamination_flags): every 97th
+    document plays the held-out eval set; all documents sharing any
+    token-3-gram shingle with it are flagged with their hit counts —
+    the pre-training contamination check, as a broadcast semi-join
+    against the dictionary-sized benchmark shingle set."""
+    docs = t_par(spark, sf_dir, "documents")
+    bench = dedup.exploded_shingles(
+        docs.filter(F.col("doc_id") % 97 == 0)
+    ).select("sh").distinct()
+    return dedup.contamination_flags(docs, bench)
+
+
+SQL_DD_CONTAMINATION = f"""
+WITH tk AS (
+  SELECT doc_id, {TOKEN_SQL} AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLE_HASH_SQL}) AS sh
+  FROM tk WHERE len(toks) >= 3
+), bench AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT s.doc_id, COUNT(*) AS n_hits
+  FROM sh s JOIN bench USING (sh) GROUP BY 1
+)
+SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS INT) AS n_hits,
+       COALESCE(h.n_hits, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def q_dd_simhash(spark, sf_dir):
     return dedup.simhash(t_par(spark, sf_dir, "documents"))
 
@@ -2560,6 +2591,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dd_jaccard_capped": (q_dd_jaccard_capped, SQL_DD_JACCARD_CAPPED),
     "dd_jaccard_verify": (q_dd_jaccard_verify, SQL_DD_JACCARD_VERIFY),
     "dd_simhash": (q_dd_simhash, SQL_DD_SIMHASH),
+    "dd_contamination": (q_dd_contamination, SQL_DD_CONTAMINATION),
     "dd_embedding_neardup": (q_dd_embedding_neardup, SQL_DD_EMBEDDING_NEARDUP),
     "salted_count": (q_salted_brand_count, SQL_SALTED_BRAND_COUNT),
     # similarity

@@ -341,3 +341,30 @@ def test_kmeans_fit_recovers_planted_clusters(spark):
     cents = similarity.kmeans_fit(df, k=3, dim=4, n_iter=4, seed_ids=[0, 300, 600])
     for got, exp in zip(cents, expected_means):
         assert all(abs(g - e) < 1e-6 for g, e in zip(got, exp)), (got, exp)
+
+
+def test_contamination_flags_planted(spark):
+    """Planted corpus: a doc sharing a 3-gram with the benchmark is
+    flagged with the right hit count; clean and shingle-less docs
+    report 0 hits without vanishing."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),       # shares 'the quick brown'
+            (2, "completely different words here"),  # clean
+            (3, "hi"),                               # < 3 tokens: no shingles
+        ],
+        "doc_id long, text string",
+    )
+    bench_docs = spark.createDataFrame(
+        [(100, "the quick brown cat sat")], "doc_id long, text string"
+    )
+    bench = dedup.exploded_shingles(
+        bench_docs.withColumn("lang", F.lit("x"))
+    ).select("sh").distinct()
+    out = {
+        r["doc_id"]: r
+        for r in dedup.contamination_flags(docs, bench).collect()
+    }
+    assert out[1]["contaminated"] and out[1]["n_hits"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    assert not out[3]["contaminated"] and out[3]["n_hits"] == 0
