@@ -2466,6 +2466,54 @@ QUALIFY rank <= 3
 """.replace("{bucket}", _lsh_bucket_expr(8))
 
 
+def q_sim_ann_recall(spark, sf_dir):
+    """ANN quality measurement — recall@k of the bucket-confined top-k
+    against the brute-force ground truth, per query vector (the metric
+    that justifies an ANN index at all; computed the way an offline
+    eval job would, as one join between the two result sets). Both
+    sides reuse the existing operators; the oracle recomputes both
+    relationally and intersects."""
+    emb = t_par(spark, sf_dir, "embeddings")
+    truth = similarity.cosine_topk(emb, _QUERY_IDS, k=_TOPK).select(
+        "q_id", "neighbor_id"
+    )
+    approx = (
+        similarity.bucketed_topk(emb, dim=_EMB_DIM, k=_TOPK, nbits=8)
+        .filter(F.col("q_id").isin(_QUERY_IDS))
+        .select("q_id", F.col("neighbor_id").alias("__a_n"))
+    )
+    matched = truth.join(
+        approx,
+        (truth["q_id"] == approx["q_id"]) & (truth["neighbor_id"] == approx["__a_n"]),
+        "left_semi",
+    )
+    per_q = matched.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_match"))
+    base = truth.select("q_id").distinct()
+    return base.join(per_q, "q_id", "left").select(
+        "q_id",
+        F.coalesce("n_match", F.lit(0)).cast("int").alias("n_match"),
+        (F.coalesce("n_match", F.lit(0)) / F.lit(float(_TOPK))).alias("recall"),
+    )
+
+
+SQL_SIM_ANN_RECALL = f"""
+WITH truth AS ({SQL_SIM_COSINE_TOPK}),
+approx AS ({SQL_SIM_BUCKETED_TOPK.replace("QUALIFY rank <= 3", f"QUALIFY rank <= {_TOPK}")}),
+m AS (
+  SELECT t.q_id, COUNT(*) AS n_match
+  FROM truth t
+  WHERE EXISTS (
+    SELECT 1 FROM approx a
+    WHERE a.q_id = t.q_id AND a.neighbor_id = t.neighbor_id
+  )
+  GROUP BY t.q_id
+)
+SELECT q.q_id, CAST(COALESCE(m.n_match, 0) AS INT) AS n_match,
+       COALESCE(m.n_match, 0) / CAST({_TOPK} AS DOUBLE) AS recall
+FROM (SELECT DISTINCT q_id FROM truth) q LEFT JOIN m USING (q_id)
+"""
+
+
 def q_sim_ivf_kmeans(spark, sf_dir):
     """The trained IVF path: Lloyd's k-means fit (deterministic seeds,
     fixed iterations — iterative, hence no SQL oracle; the driver records
@@ -2599,6 +2647,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
     "sim_ivf_assign": (q_sim_ivf_assign, SQL_SIM_IVF_ASSIGN),
     "sim_bucketed_topk": (q_sim_bucketed_topk, SQL_SIM_BUCKETED_TOPK),
+    "sim_ann_recall": (q_sim_ann_recall, SQL_SIM_ANN_RECALL),
     "sim_ivf_kmeans": (q_sim_ivf_kmeans, None),
     "eog_borders": (q_eog_borders, SQL_EOG_BORDERS),
     # multimodal plumbing
