@@ -310,3 +310,137 @@ def bucketed_topk(
             F.col("score_raw").alias("score"),
         )
     )
+
+
+# --- product quantization (PQ) ----------------------------------------------
+
+
+def pq_codebook_from_seeds(
+    emb: DataFrame,
+    seed_ids: list[int],
+    m: int,
+    dim: int,
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Seeded PQ codebook: subspace s's code c is seed vector c's s-th
+    subvector — deterministic, training-free (swap in kmeans_fit per
+    subspace for a trained codebook; the encode/ADC path below is
+    identical either way). Returns m × k × (dim/m) plain lists
+    (broadcast-literal sized: k·dim doubles)."""
+    assert dim % m == 0, "dim must divide into m subspaces"
+    sub = dim // m
+    rows = {
+        r[0]: [float(x) for x in r[1]]
+        for r in emb.filter(F.col(id_col).isin(seed_ids))
+        .select(id_col, "embedding")
+        .collect()
+    }
+    seeds = [rows[i] for i in seed_ids]
+    return [
+        [v[s * sub : (s + 1) * sub] for v in seeds] for s in range(m)
+    ]
+
+
+def _sub_sq_l2(vec: Column, start: int, centroid: list[float]) -> Column:
+    """Sequential-fold squared L2 between vec[start:start+len(centroid)]
+    and a literal centroid — same fold order as the DuckDB list_reduce
+    twin, so distances are bit-identical across engines."""
+    sl = F.slice(vec, start + 1, len(centroid))
+    lit = F.array(*[F.lit(c).cast("double") for c in centroid])
+    diffs = F.zip_with(sl, lit, lambda a, b: (a - b) * (a - b))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: list[list[list[float]]],
+    dim: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector as m one-byte codes: per subspace, the argmin
+    squared-L2 centroid (ties break on the lower code). Pure Column
+    expressions — the codebook enters as literals, nothing shuffles.
+    Returns (vec_id, codes array<int>): dim·8 bytes of float become m
+    bytes, the 32x compression that makes billion-vector ANN RAM-
+    resident."""
+    m = len(codebook)
+    sub = dim // m
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    code_cols = []
+    for s, cents in enumerate(codebook):
+        cands = F.array(
+            *[
+                F.struct(
+                    _sub_sq_l2(v, s * sub, c).alias("d"),
+                    F.lit(ci).alias("c"),
+                )
+                for ci, c in enumerate(cents)
+            ]
+        )
+        code_cols.append(F.array_sort(cands).getItem(0).getField("c"))
+    return emb.select(F.col(id_col).alias("vec_id"), F.array(*code_cols).alias("codes"))
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    codebook: list[list[list[float]]],
+    query_ids: list[int],
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k: each query's EXACT subvectors are
+    compared to every corpus vector's CODES via a precomputed lookup
+    table (query_subspace -> centroid distance, computed driver-side in
+    the same fold order), so scoring a vector is m array lookups + m-1
+    additions — no float vector math on the corpus side at all. One
+    window per query for the top-k. Returns (q_id, rank, neighbor_id,
+    dist); approximation quality is measured by the recall query, like
+    bucketed_topk."""
+    from pyspark.sql import Window
+
+    m = len(codebook)
+    sub = dim // m
+    q_rows = {
+        r[0]: [float(x) for x in r[1]]
+        for r in emb.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, "embedding")
+        .collect()
+    }
+    codes = pq_encode(emb, codebook, dim, id_col).filter(
+        ~F.col("vec_id").isin(query_ids)
+    )
+    out = []
+    for qid in query_ids:
+        qv = q_rows[qid]
+        # LUT[s][c] = ||q_s - centroid[s][c]||^2, same sequential fold
+        lut = [
+            [
+                sum(
+                    ((qv[s * sub + i] - c[i]) * (qv[s * sub + i] - c[i]) for i in range(sub)),
+                    0.0,
+                )
+                for c in cents
+            ]
+            for s, cents in enumerate(codebook)
+        ]
+        dist = F.lit(0.0)
+        for s in range(m):
+            lut_arr = F.array(*[F.lit(d).cast("double") for d in lut[s]])
+            dist = dist + F.element_at(lut_arr, F.col("codes").getItem(s) + 1)
+        out.append(
+            codes.select(
+                F.lit(qid).alias("q_id"),
+                F.col("vec_id").alias("neighbor_id"),
+                dist.alias("dist"),
+            )
+        )
+    scored = out[0]
+    for df in out[1:]:
+        scored = scored.unionByName(df)
+    w = Window.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("rank").cast("int"), "neighbor_id", "dist")
+    )

@@ -2514,6 +2514,107 @@ FROM (SELECT DISTINCT q_id FROM truth) q LEFT JOIN m USING (q_id)
 """
 
 
+_PQ_M = 4
+_PQ_SEEDS = list(range(8))
+_PQ_SUB = _EMB_DIM // _PQ_M
+
+# DuckDB fragment: squared-L2 between 16-dim subvectors of a and b at
+# 0-based subspace s (1-based slicing), sequential fold (bit-identical
+# to the Spark/python folds)
+def _pq_subdist_sql(a: str, b: str, s: str) -> str:
+    diffs = (
+        f"list_transform(range(1, {_PQ_SUB + 1}), "
+        f"i -> ({a}[{s}*{_PQ_SUB}+i] - {b}[{s}*{_PQ_SUB}+i]) "
+        f"* ({a}[{s}*{_PQ_SUB}+i] - {b}[{s}*{_PQ_SUB}+i]))"
+    )
+    return f"list_reduce(list_prepend(0.0, {diffs}), (x, y) -> x + y)"
+
+
+_PQ_CTE = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), seeds AS (
+  SELECT vec_id AS code, emb AS cent FROM e
+  WHERE vec_id IN ({", ".join(map(str, _PQ_SEEDS))})
+), sd AS (
+  SELECT v.vec_id, sp.s, seeds.code,
+         {_pq_subdist_sql('v.emb', 'seeds.cent', 'sp.s')} AS d
+  FROM e v
+  CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS s) sp
+  CROSS JOIN seeds
+), codes AS (
+  SELECT vec_id, s, CAST(code AS INT) AS code FROM sd
+  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) = 1
+)"""
+
+
+def q_sim_pq_encode(spark, sf_dir):
+    """Product-quantization encoding (similarity.pq_encode): every
+    64-dim float vector becomes m=4 one-byte codes — the 32× compression
+    that keeps billion-vector ANN RAM-resident. Codebook = the seeded
+    subvectors of vec_ids 0..7 (training-free and deterministic; swap
+    kmeans_fit per subspace for the trained variant); argmin ties break
+    on the lower code. The oracle recomputes every subspace distance
+    with the identical sequential fold."""
+    emb = t_par(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebook_from_seeds(emb, _PQ_SEEDS, m=_PQ_M, dim=_EMB_DIM)
+    out = similarity.pq_encode(emb, cb, dim=_EMB_DIM)
+    # CSV codes: the oracle fetch renders DuckDB lists as numpy arrays,
+    # which stringify differently from Spark arrays
+    return out.select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("codes"), lambda c: c.cast("string")), ","
+        ).alias("codes_csv"),
+    )
+
+
+SQL_SIM_PQ_ENCODE = f"""{_PQ_CTE}
+SELECT vec_id,
+       array_to_string(list(CAST(code AS VARCHAR) ORDER BY s), ',') AS codes_csv
+FROM codes GROUP BY vec_id
+"""
+
+
+def q_sim_pq_topk(spark, sf_dir):
+    """PQ asymmetric-distance top-k (similarity.pq_adc_topk): exact
+    query subvectors against corpus CODES via a driver-precomputed
+    lookup table — m array lookups + additions per corpus vector, zero
+    float vector math on the big side. The oracle rebuilds the LUT and
+    the s-ordered distance fold relationally."""
+    emb = t_par(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebook_from_seeds(emb, _PQ_SEEDS, m=_PQ_M, dim=_EMB_DIM)
+    return similarity.pq_adc_topk(
+        emb, cb, _QUERY_IDS, k=5, dim=_EMB_DIM
+    )
+
+
+SQL_SIM_PQ_TOPK = f"""{_PQ_CTE},
+q AS (
+  SELECT vec_id AS q_id, emb AS qe FROM e
+  WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})
+), lut AS (
+  SELECT q.q_id, sp.s, CAST(seeds.code AS INT) AS code,
+         {_pq_subdist_sql('q.qe', 'seeds.cent', 'sp.s')} AS d
+  FROM q
+  CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS s) sp
+  CROSS JOIN seeds
+), scored AS (
+  SELECT l.q_id, c.vec_id AS neighbor_id,
+         list_reduce(list_prepend(0.0, list(l.d ORDER BY l.s)), (x, y) -> x + y) AS dist
+  FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+  WHERE c.vec_id NOT IN ({", ".join(map(str, _QUERY_IDS))})
+  GROUP BY 1, 2
+)
+SELECT q_id,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist, neighbor_id) AS INT) AS rank,
+       neighbor_id, dist
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
 def q_sim_ivf_kmeans(spark, sf_dir):
     """The trained IVF path: Lloyd's k-means fit (deterministic seeds,
     fixed iterations — iterative, hence no SQL oracle; the driver records
@@ -2648,6 +2749,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sim_ivf_assign": (q_sim_ivf_assign, SQL_SIM_IVF_ASSIGN),
     "sim_bucketed_topk": (q_sim_bucketed_topk, SQL_SIM_BUCKETED_TOPK),
     "sim_ann_recall": (q_sim_ann_recall, SQL_SIM_ANN_RECALL),
+    "sim_pq_encode": (q_sim_pq_encode, SQL_SIM_PQ_ENCODE),
+    "sim_pq_topk": (q_sim_pq_topk, SQL_SIM_PQ_TOPK),
     "sim_ivf_kmeans": (q_sim_ivf_kmeans, None),
     "eog_borders": (q_eog_borders, SQL_EOG_BORDERS),
     # multimodal plumbing

@@ -368,3 +368,28 @@ def test_contamination_flags_planted(spark):
     assert out[1]["contaminated"] and out[1]["n_hits"] == 1
     assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
     assert not out[3]["contaminated"] and out[3]["n_hits"] == 0
+
+
+def test_pq_encode_and_adc(spark):
+    """PQ golden: a seed vector encodes to its own code in every
+    subspace, and ADC ranks the vector nearest the query first."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    dim, m = 8, 2
+    base = rng.randn(6, dim).astype("float32")
+    base[5] = base[0] + 0.01  # vec 5 is nearly vec 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = similarity.pq_codebook_from_seeds(emb, [0, 1, 2, 3], m=m, dim=dim)
+    codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in similarity.pq_encode(emb, cb, dim=dim).collect()
+    }
+    for seed in range(4):
+        assert codes[seed] == [seed] * m, codes[seed]
+    # vec 5 ~ vec 0 -> encodes to vec 0's codes
+    assert codes[5] == [0] * m
+    top = similarity.pq_adc_topk(emb, cb, [0], k=2, dim=dim).collect()
+    ranked = [r["neighbor_id"] for r in sorted(top, key=lambda r: r["rank"])]
+    assert ranked[0] == 5  # the near-duplicate wins under ADC
