@@ -48,6 +48,8 @@ HEADLINE = [
     "eog_corpus_reach",
     "sa_ops_grammar",
     "ts_tfidf_topk",
+    "dd_contamination",
+    "sim_pq_topk",
 ]
 
 
