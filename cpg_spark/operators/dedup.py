@@ -308,16 +308,22 @@ def contamination_flags(
     — same portable hash, so the check is engine-reproducible).
 
     Shape: docs shingle-explode (the shared kernel) → broadcast-join
-    against the benchmark dictionary (eval sets are dictionary-sized
-    next to a 100 TB corpus) → per-doc combinable hit count. Every doc
-    comes back with (n_hits, contaminated) — a LEFT join from docs, so
-    shingle-less docs report 0 hits rather than vanishing.
+    against the benchmark dictionary FIRST (eval sets are
+    dictionary-sized next to a 100 TB corpus, so the broadcast filter
+    is a map-side operation that discards ~everything) → per-doc
+    DISTINCT hit count. Order matters at scale: a corpus-wide
+    distinct-shuffle before the filter would exchange every shingle of
+    every document; here the only shuffle is the tiny surviving hit
+    set (count_distinct dedups per group, replacing the global
+    distinct). Every doc comes back with (n_hits, contaminated) — a
+    LEFT join from docs, so shingle-less docs report 0 hits rather
+    than vanishing.
     """
     hits = (
-        shingle_index(docs.select("doc_id", F.lit("x").alias("lang"), "text"))
+        exploded_shingles(docs)
         .join(F.broadcast(benchmark.select("sh").distinct()), "sh")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(F.count_distinct("sh").alias("n_hits"))
     )
     return (
         docs.select("doc_id")

@@ -335,6 +335,8 @@ def pq_codebook_from_seeds(
         .select(id_col, "embedding")
         .collect()
     }
+    missing = [i for i in seed_ids if i not in rows]
+    assert not missing, f"seed ids must exist in the corpus: missing {missing}"
     seeds = [rows[i] for i in seed_ids]
     return [
         [v[s * sub : (s + 1) * sub] for v in seeds] for s in range(m)
@@ -342,13 +344,17 @@ def pq_codebook_from_seeds(
 
 
 def _sub_sq_l2(vec: Column, start: int, centroid: list[float]) -> Column:
-    """Sequential-fold squared L2 between vec[start:start+len(centroid)]
-    and a literal centroid — same fold order as the DuckDB list_reduce
-    twin, so distances are bit-identical across engines."""
-    sl = F.slice(vec, start + 1, len(centroid))
-    lit = F.array(*[F.lit(c).cast("double") for c in centroid])
-    diffs = F.zip_with(sl, lit, lambda a, b: (a - b) * (a - b))
-    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+    """Squared L2 between vec[start:start+len(centroid)] and a literal
+    centroid, UNROLLED into plain column arithmetic (the
+    _nearest_literal_centroid rule: unrolled math stays in whole-stage
+    codegen where an HOF over a literal array would be interpreted).
+    Fold order is 0.0 + d_0 + d_1 + ... — identical to the DuckDB
+    list_reduce twin, so distances are bit-identical across engines."""
+    acc = F.lit(0.0)
+    for i, c in enumerate(centroid):
+        x = F.element_at(vec, start + i + 1).cast("double") - F.lit(float(c))
+        acc = acc + x * x
+    return acc
 
 
 def pq_encode(
@@ -358,14 +364,14 @@ def pq_encode(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Encode every vector as m one-byte codes: per subspace, the argmin
-    squared-L2 centroid (ties break on the lower code). Pure Column
-    expressions — the codebook enters as literals, nothing shuffles.
-    Returns (vec_id, codes array<int>): dim·8 bytes of float become m
-    bytes, the 32x compression that makes billion-vector ANN RAM-
-    resident."""
+    squared-L2 centroid (array_min over (dist, code) structs — ties
+    break to the lower code). Pure Column expressions — the codebook
+    enters as literals, nothing shuffles. Returns (vec_id, codes
+    array<int>): dim·8 bytes of float become m bytes, the 32x
+    compression that makes billion-vector ANN RAM-resident."""
     m = len(codebook)
     sub = dim // m
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = F.col("embedding")
     code_cols = []
     for s, cents in enumerate(codebook):
         cands = F.array(
@@ -377,7 +383,7 @@ def pq_encode(
                 for ci, c in enumerate(cents)
             ]
         )
-        code_cols.append(F.array_sort(cands).getItem(0).getField("c"))
+        code_cols.append(F.array_min(cands).getField("c"))
     return emb.select(F.col(id_col).alias("vec_id"), F.array(*code_cols).alias("codes"))
 
 
@@ -393,12 +399,16 @@ def pq_adc_topk(
     compared to every corpus vector's CODES via a precomputed lookup
     table (query_subspace -> centroid distance, computed driver-side in
     the same fold order), so scoring a vector is m array lookups + m-1
-    additions — no float vector math on the corpus side at all. One
-    window per query for the top-k. Returns (q_id, rank, neighbor_id,
-    dist); approximation quality is measured by the recall query, like
-    bucketed_topk."""
-    from pyspark.sql import Window
+    additions — no float vector math on the corpus side at all.
 
+    ONE corpus pass: every query's distance is a literal-LUT column on
+    the same encoded row, exploded to (q_id, neighbor_id, dist) — the
+    scan/encode subtree is never duplicated per query. Each query
+    excludes only ITSELF (like cosine_topk/bucketed_topk), so
+    cross-query neighbors stay reachable and recall@k against the
+    brute-force truth measures quantization error alone. One window
+    for the per-query top-k. Returns (q_id, rank, neighbor_id, dist)."""
+    assert query_ids, "query_ids must be non-empty"
     m = len(codebook)
     sub = dim // m
     q_rows = {
@@ -407,10 +417,11 @@ def pq_adc_topk(
         .select(id_col, "embedding")
         .collect()
     }
-    codes = pq_encode(emb, codebook, dim, id_col).filter(
-        ~F.col("vec_id").isin(query_ids)
-    )
-    out = []
+    missing = [i for i in query_ids if i not in q_rows]
+    assert not missing, f"query ids must exist in the corpus: missing {missing}"
+    codes = pq_encode(emb, codebook, dim, id_col)
+
+    per_query = []
     for qid in query_ids:
         qv = q_rows[qid]
         # LUT[s][c] = ||q_s - centroid[s][c]||^2, same sequential fold
@@ -428,16 +439,17 @@ def pq_adc_topk(
         for s in range(m):
             lut_arr = F.array(*[F.lit(d).cast("double") for d in lut[s]])
             dist = dist + F.element_at(lut_arr, F.col("codes").getItem(s) + 1)
-        out.append(
-            codes.select(
-                F.lit(qid).alias("q_id"),
-                F.col("vec_id").alias("neighbor_id"),
-                dist.alias("dist"),
-            )
+        per_query.append(
+            F.struct(F.lit(qid).alias("q_id"), dist.alias("dist"))
         )
-    scored = out[0]
-    for df in out[1:]:
-        scored = scored.unionByName(df)
+    scored = (
+        codes.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.explode(F.array(*per_query)).alias("qd"),
+        )
+        .select("neighbor_id", F.col("qd.q_id").alias("q_id"), F.col("qd.dist").alias("dist"))
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+    )
     w = Window.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -2440,11 +2440,14 @@ QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score_raw DESC, cell) = 
 """
 
 
+_BUCKETED_K = 3
+
+
 def q_sim_bucketed_topk(spark, sf_dir):
     """IVF-probe shape: exact top-k confined to each LSH bucket (the ANN
     scale path — the self-join never leaves a bucket)."""
     return similarity.bucketed_topk(
-        t_par(spark, sf_dir, "embeddings"), dim=_EMB_DIM, k=3, nbits=8
+        t_par(spark, sf_dir, "embeddings"), dim=_EMB_DIM, k=_BUCKETED_K, nbits=8
     )
 
 
@@ -2462,7 +2465,7 @@ SELECT q_id,
        CAST(row_number() OVER (PARTITION BY q_id ORDER BY score_raw DESC, neighbor_id) AS INT) AS rank,
        neighbor_id, score_raw AS score
 FROM scored
-QUALIFY rank <= 3
+QUALIFY rank <= {_BUCKETED_K}
 """.replace("{bucket}", _lsh_bucket_expr(8))
 
 
@@ -2496,9 +2499,16 @@ def q_sim_ann_recall(spark, sf_dir):
     )
 
 
+# re-k the bucketed oracle for the recall comparison; the assert keeps
+# the string surgery honest if _BUCKETED_K ever changes shape
+_SQL_BUCKETED_AT_TOPK = SQL_SIM_BUCKETED_TOPK.replace(
+    f"QUALIFY rank <= {_BUCKETED_K}", f"QUALIFY rank <= {_TOPK}"
+)
+assert _SQL_BUCKETED_AT_TOPK != SQL_SIM_BUCKETED_TOPK
+
 SQL_SIM_ANN_RECALL = f"""
 WITH truth AS ({SQL_SIM_COSINE_TOPK}),
-approx AS ({SQL_SIM_BUCKETED_TOPK.replace("QUALIFY rank <= 3", f"QUALIFY rank <= {_TOPK}")}),
+approx AS ({_SQL_BUCKETED_AT_TOPK}),
 m AS (
   SELECT t.q_id, COUNT(*) AS n_match
   FROM truth t
@@ -2516,6 +2526,11 @@ FROM (SELECT DISTINCT q_id FROM truth) q LEFT JOIN m USING (q_id)
 
 _PQ_M = 4
 _PQ_SEEDS = list(range(8))
+# LOAD-BEARING: the oracle CTE uses the seed vec_id AS the code value,
+# which equals pq_encode's positional code only while _PQ_SEEDS is the
+# identity list — changing the seeds requires mapping vec_id -> position
+# in the oracle too
+assert _PQ_SEEDS == list(range(len(_PQ_SEEDS)))
 _PQ_SUB = _EMB_DIM // _PQ_M
 
 # DuckDB fragment: squared-L2 between 16-dim subvectors of a and b at
@@ -2604,7 +2619,7 @@ q AS (
   SELECT l.q_id, c.vec_id AS neighbor_id,
          list_reduce(list_prepend(0.0, list(l.d ORDER BY l.s)), (x, y) -> x + y) AS dist
   FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
-  WHERE c.vec_id NOT IN ({", ".join(map(str, _QUERY_IDS))})
+  WHERE c.vec_id != l.q_id
   GROUP BY 1, 2
 )
 SELECT q_id,
