@@ -2630,6 +2630,56 @@ QUALIFY rank <= 5
 """
 
 
+def q_sim_pq_recall(spark, sf_dir):
+    """PQ quality measurement — recall@k of ADC top-k against the
+    brute-force cosine ground truth (completes the PQ story the way
+    sim_ann_recall does for the LSH-bucket path: the number that says
+    what the 32× compression costs)."""
+    emb = t_par(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebook_from_seeds(emb, _PQ_SEEDS, m=_PQ_M, dim=_EMB_DIM)
+    truth = similarity.cosine_topk(emb, _QUERY_IDS, k=_TOPK).select(
+        "q_id", "neighbor_id"
+    )
+    approx = similarity.pq_adc_topk(
+        emb, cb, _QUERY_IDS, k=_TOPK, dim=_EMB_DIM
+    ).select("q_id", F.col("neighbor_id").alias("__a_n"))
+    matched = truth.join(
+        approx,
+        (truth["q_id"] == approx["q_id"]) & (truth["neighbor_id"] == approx["__a_n"]),
+        "left_semi",
+    )
+    per_q = matched.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_match"))
+    base = truth.select("q_id").distinct()
+    return base.join(per_q, "q_id", "left").select(
+        "q_id",
+        F.coalesce("n_match", F.lit(0)).cast("int").alias("n_match"),
+        (F.coalesce("n_match", F.lit(0)) / F.lit(float(_TOPK))).alias("recall"),
+    )
+
+
+_SQL_PQ_AT_TOPK = SQL_SIM_PQ_TOPK.replace(
+    "QUALIFY rank <= 5", f"QUALIFY rank <= {_TOPK}"
+)
+assert _SQL_PQ_AT_TOPK != SQL_SIM_PQ_TOPK
+
+SQL_SIM_PQ_RECALL = f"""
+WITH truth AS ({SQL_SIM_COSINE_TOPK}),
+approx AS ({_SQL_PQ_AT_TOPK}),
+m AS (
+  SELECT t.q_id, COUNT(*) AS n_match
+  FROM truth t
+  WHERE EXISTS (
+    SELECT 1 FROM approx a
+    WHERE a.q_id = t.q_id AND a.neighbor_id = t.neighbor_id
+  )
+  GROUP BY t.q_id
+)
+SELECT q.q_id, CAST(COALESCE(m.n_match, 0) AS INT) AS n_match,
+       COALESCE(m.n_match, 0) / CAST({_TOPK} AS DOUBLE) AS recall
+FROM (SELECT DISTINCT q_id FROM truth) q LEFT JOIN m USING (q_id)
+"""
+
+
 def q_sim_ivf_kmeans(spark, sf_dir):
     """The trained IVF path: Lloyd's k-means fit (deterministic seeds,
     fixed iterations — iterative, hence no SQL oracle; the driver records
@@ -2766,6 +2816,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sim_ann_recall": (q_sim_ann_recall, SQL_SIM_ANN_RECALL),
     "sim_pq_encode": (q_sim_pq_encode, SQL_SIM_PQ_ENCODE),
     "sim_pq_topk": (q_sim_pq_topk, SQL_SIM_PQ_TOPK),
+    "sim_pq_recall": (q_sim_pq_recall, SQL_SIM_PQ_RECALL),
     "sim_ivf_kmeans": (q_sim_ivf_kmeans, None),
     "eog_borders": (q_eog_borders, SQL_EOG_BORDERS),
     # multimodal plumbing
