@@ -298,22 +298,43 @@ def bfs_reach_grouped(
 
     edges(group_col, src, dst[, unreachable]), seeds(group_col, node).
     Returns (group_col, node, hops) with minimal hops — identical to
-    bfs_reach run per group (golden-tested equivalence)."""
+    bfs_reach run per group (golden-tested equivalence).
+
+    Edges and seeds are unioned into one tagged frame and walked by a
+    single groupBy().applyInPandas — NOT a cogroup: both inputs
+    routinely derive from the same upstream frame (one chunk table
+    feeding both sides), and the cogroup analyzer rejects group keys
+    whose attribute ids collide across sides (ambiguous-self-join
+    check), while a union of the two is always well-formed. Same single
+    shuffle either way."""
     import pandas as pd
 
     if honor_unreachable and "unreachable" in edges.columns:
         edges = edges.filter(~F.coalesce(F.col("unreachable"), F.lit(False)))
-    e = edges.select(group_col, F.col(src).alias("__s"), F.col(dst).alias("__d"))
-    s = seeds.select(group_col, F.col("node").alias("__seed"))
+    e = edges.select(
+        group_col,
+        F.col(src).alias("__a"),
+        F.col(dst).alias("__b"),
+        F.lit(False).alias("__is_seed"),
+    )
+    s = seeds.select(
+        group_col,
+        F.col("node").alias("__a"),
+        F.col("node").alias("__b"),
+        F.lit(True).alias("__is_seed"),
+    )
+    both = e.unionByName(s)
     ftypes = {f.name: f.dataType.simpleString() for f in e.schema.fields}
-    out_schema = f"{group_col} {ftypes[group_col]}, node {ftypes['__s']}, hops int"
+    out_schema = f"{group_col} {ftypes[group_col]}, node {ftypes['__a']}, hops int"
 
-    def solve(key, e_pdf: pd.DataFrame, s_pdf: pd.DataFrame) -> pd.DataFrame:
+    def solve(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        is_seed = pdf["__is_seed"].to_numpy()
         adj: dict = {}
-        for a, b in zip(e_pdf["__s"], e_pdf["__d"]):
-            adj.setdefault(a, []).append(b)
+        for a, b, sd in zip(pdf["__a"], pdf["__b"], is_seed):
+            if not sd:
+                adj.setdefault(a, []).append(b)
         seen: dict = {}
-        frontier = sorted(set(s_pdf["__seed"]))
+        frontier = sorted(set(pdf["__a"][is_seed]))
         hops = 0
         while frontier and hops <= max_hops:
             nxt = set()
@@ -331,11 +352,7 @@ def bfs_reach_grouped(
             }
         )
 
-    return (
-        e.groupBy(group_col)
-        .cogroup(s.groupBy(group_col))
-        .applyInPandas(solve, out_schema)
-    )
+    return both.groupBy(group_col).applyInPandas(solve, out_schema)
 
 
 def _tarjan_driver(e: DataFrame) -> DataFrame:

@@ -214,7 +214,19 @@ def productions_from_dfg(
     ein = (
         edges.join(child_nt, "child")
         .join(parent_nt, ["hotspot_id", "parent"])
-        .select("hotspot_id", "parent_nt", "child_nt", "pos")
+        # child_node carries the RAW node id alongside the remapped nt:
+        # consumers that need to look a child up in the nodes table (the
+        # repeat-amount literal below) join on it directly instead of
+        # re-deriving the id from nt arithmetic, which breaks whenever
+        # the child is itself a hotspot (remapped to 0) or the remap
+        # convention changes
+        .select(
+            "hotspot_id",
+            "parent_nt",
+            "child_nt",
+            F.col("child").alias("child_node"),
+            "pos",
+        )
     )
 
     null_s = F.lit(None).cast("string")
@@ -286,7 +298,7 @@ def productions_from_dfg(
                 F.col("node_id").alias("__amt_node"),
                 F.col("text").alias("__amt"),
             ),
-            F.col("child_nt") - 1 == F.col("__amt_node"),
+            F.col("child_node") == F.col("__amt_node"),
         )
         .select(
             member["hotspot_id"].alias("hotspot_id"),

@@ -1013,7 +1013,15 @@ def q_eog_corpus_reach(spark, sf_dir):
     bfs_reach refuses dead edges (ControlFlowSensitiveDFGPass.kt:
     211-213), so skipped chunks drop out with corpus-derived structure.
     Output: every (doc_id, chunk_idx) reachable from chunk 0 with min
-    hops; the oracle replays the same semantics as a recursive CTE."""
+    hops; the oracle replays the same semantics as a recursive CTE.
+
+    Scale shape (r3 verdict #2): each document's EOG is a SMALL PRIVATE
+    DAG — cross-partition traversal never happens — so the walk runs in
+    bfs_reach_grouped (one grouped-map task per document, one shuffle
+    total) instead of the global bfs_reach frontier loop, whose per-hop
+    full-corpus exchange + anti-join is the scale-killer at 100×. The
+    global form stays the right tool for the genuinely cross-document
+    graphs (connected components / SCC)."""
     from .operators import canonicalize
     from .operators.extract import flag_unreachable_edges
 
@@ -1034,33 +1042,31 @@ def q_eog_corpus_reach(spark, sf_dir):
             (F.length("chunk_text") % 2 == 0).alias("cond_value"),
         )
     )
-    # composite STRING node ids: collision-free at any document length
-    # (an arithmetic doc_id*K + chunk_idx packing aliases chunk K of doc
-    # N with chunk 0 of doc N+1 once a document exceeds K chunks)
-    node = F.concat_ws("#", F.col("doc_id"), F.col("chunk_idx"))
+    # node ids are plain chunk indices: the group column scopes them per
+    # document, so no composite doc#chunk string packing is needed
     src = chunks.select(
-        node.alias("src"), "doc_id", "chunk_idx", "guard", "cond_value"
+        "doc_id", F.col("chunk_idx").alias("src"), "guard", "cond_value"
     )
     tgt = chunks.select(
         F.col("doc_id").alias("__d"), F.col("chunk_idx").alias("__i")
     )
 
     def hop(n, branch, cond):
-        e = (
+        return (
             src.join(
                 tgt,
                 (F.col("doc_id") == F.col("__d"))
-                & (F.col("__i") == F.col("chunk_idx") + n),
+                & (F.col("__i") == F.col("src") + n),
             )
             .select(
+                "doc_id",
                 "src",
-                F.concat_ws("#", F.col("__d"), F.col("__i")).alias("dst"),
+                F.col("__i").alias("dst"),
                 branch.alias("branch"),
                 cond.alias("cond_value"),
                 "guard",
             )
         )
-        return e
 
     nulls = F.lit(None).cast("string")
     nullb = F.lit(None).cast("boolean")
@@ -1070,13 +1076,15 @@ def q_eog_corpus_reach(spark, sf_dir):
     edges = flag_unreachable_edges(
         linear.unionByName(br_true).unionByName(br_false).drop("guard")
     )
-    seeds = chunks.filter(F.col("chunk_idx") == 0).select(node.alias("node"))
-    reach = canonicalize.bfs_reach(
-        edges, seeds, src="src", dst="dst", max_hops=32
+    seeds = chunks.filter(F.col("chunk_idx") == 0).select(
+        "doc_id", F.col("chunk_idx").alias("node")
+    )
+    reach = canonicalize.bfs_reach_grouped(
+        edges, seeds, group_col="doc_id", src="src", dst="dst", max_hops=32
     )
     return reach.select(
-        F.split("node", "#").getItem(0).cast("long").alias("doc_id"),
-        F.split("node", "#").getItem(1).cast("long").alias("chunk_idx"),
+        "doc_id",
+        F.col("node").alias("chunk_idx"),
         F.col("hops").cast("int").alias("hops"),
     )
 

@@ -403,6 +403,33 @@ def test_repeat_amount_resolved_from_dfg(spark):
     assert not _full(pats["var"]["regex"], "ce")
 
 
+def test_repeat_amount_shared_with_other_hotspot(spark):
+    """Regression (r3 verdict #4): the amount lookup must join on the
+    RAW node id, not re-derive it from nt arithmetic (child_nt - 1). The
+    amount literal here is ALSO a hotspot in its own right (so its nt
+    remaps to 0 inside that slice) and sits inside another hotspot's
+    slice — both held only by accident under the old arithmetic and the
+    'fixed' grammar silently lost its fold if the remap convention
+    moved."""
+    nodes = spark.createDataFrame(
+        [(0, "lit", "ab"), (1, "op", "repeat"), (2, "lit", "3")],
+        "node_id long, kind string, text string",
+    )
+    edges = spark.createDataFrame(
+        [(0, 1, 0), (2, 1, 1)], "child long, parent long, pos int"
+    )
+    # hotspot 'amt' IS the literal amount node: within that slice node 2
+    # remaps to nt 0, the case the child_nt-1 arithmetic got wrong
+    hotspots = spark.createDataFrame(
+        [("fixed", 1), ("amt", 2)], "hotspot_id string, node_id long"
+    )
+    prods = stringapprox.productions_from_dfg(nodes, edges, hotspots)
+    pats = {r["hotspot_id"]: r for r in stringapprox.grammar_patterns(prods).collect()}
+    assert _full(pats["fixed"]["regex"], "ababab")
+    assert not _full(pats["fixed"]["regex"], "abab")
+    assert _full(pats["amt"]["regex"], "3")
+
+
 def test_replace_never_rewrites_repeat_quantifiers():
     """Regression (code review): replace with a digit old-char must not
     rewrite the {n} counts a repeat production synthesizes."""
