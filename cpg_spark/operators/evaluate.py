@@ -27,10 +27,13 @@ handleDiv returns cannotEvaluate on zero divisor).
 
 Each round evaluates every op node whose inputs are ALL evaluated
 (bottom-up level at a time — rounds = DAG depth, each round one join +
-one map-side-combinable aggregation). Nodes on cycles or fed by
-unresolvable inputs stay unevaluated. Iterations truncate lineage via
-the shared reliable-checkpoint switch (iterutil.ckpt): local in tests,
-checkpoint_dir on a cluster.
+one map-side-combinable aggregation). Nodes fed by unresolvable inputs
+stay unevaluated; in evaluate_expressions so do nodes on cycles, while
+evaluate_expression_sets unrolls simple loop-carried counters into a
+bounded value set (the reference MultiValueEvaluator's
+handleSimpleLoopVariable, MAX_DEPTH=20). Iterations truncate lineage
+via the shared reliable-checkpoint switch (iterutil.ckpt): local in
+tests, checkpoint_dir on a cluster.
 """
 
 from __future__ import annotations
@@ -47,11 +50,147 @@ def _with_pos(edges: DataFrame) -> DataFrame:
     return edges.withColumn("pos", F.lit(None).cast("int"))
 
 
+def _resolve_simple_loops(
+    vals: DataFrame,
+    pending: DataFrame,
+    edges: DataFrame,
+    max_loop_iters: int,
+    max_set_size: int,
+) -> DataFrame:
+    """Bounded unrolling of simple loop-carried counters — the
+    reference's handleSimpleLoopVariable (MultiValueEvaluator.kt:43-60
+    MAX_DEPTH=20; :243-330 enumerates the loop variable's successive
+    values by re-applying the iteration statement's binary op). Called
+    when the acyclic fixpoint stalls; recognizes the i = f(i, c) cycle:
+
+        phi P with EXACTLY two inputs: one evaluated (the init set) and
+        one pending arithmetic op U, where U's two inputs are P itself
+        and an evaluated constant set C.
+
+    P's value set becomes the bounded orbit {f^k(v0, c) : v0 ∈ init,
+    c ∈ C, 0 ≤ k < max_loop_iters} — closed forms keep the whole
+    enumeration in Column expressions (add: v0+k·c, sub: v0-k·c, mul:
+    v0·c^k, div: v0/c^k), so nothing leaves codegen. Monotone guard:
+    sub/div require the loop var on the LEFT (pos 0) — c-v0 style
+    flip-flops are not the reference's simple-loop shape and stay
+    unevaluated. Zero-divisor step sets drop those orbits
+    (cannotEvaluate). Resolved nodes always carry truncated=True: the
+    DFG has no loop bound, so the enumeration is inherently capped —
+    bounded, never silent. U itself then resolves in the next normal
+    round as pairwise-f over P's set (one extra applied step, matching
+    the reference's 'the last operation is added by the statement that
+    got us here').
+
+    Returns (node_id, vals, truncated) for resolved loop headers (may
+    be empty)."""
+    phis = pending.filter((F.col("op") == "phi") & (F.col("__n_args") == 2))
+    upd_ops = ["add", "sub", "mul", "div"]
+    upds = pending.filter(
+        F.col("op").isin(upd_ops) & (F.col("__n_args") == 2)
+    ).select(F.col("node_id").alias("child"), F.col("op").alias("__uop"))
+    pe = (
+        edges.join(phis.select(F.col("node_id").alias("parent")), "parent")
+        .join(
+            vals.select(
+                F.col("node_id").alias("child"), F.col("vals").alias("__init")
+            ),
+            "child",
+            "left",
+        )
+        .join(upds, "child", "left")
+    )
+    cand = (
+        pe.groupBy(F.col("parent").alias("__p"))
+        .agg(
+            F.count("__init").alias("__n_init"),
+            F.first("__init", ignorenulls=True).alias("__init_vals"),
+            F.count("__uop").alias("__n_upd"),
+            F.first(
+                F.when(F.col("__uop").isNotNull(), F.col("child")),
+                ignorenulls=True,
+            ).alias("__u"),
+            F.first("__uop", ignorenulls=True).alias("__op"),
+        )
+        .filter((F.col("__n_init") == 1) & (F.col("__n_upd") == 1))
+    )
+    ue = edges.join(
+        cand.select(
+            F.col("__u").alias("parent"), "__p", "__init_vals", "__op"
+        ),
+        "parent",
+    ).join(
+        vals.select(F.col("node_id").alias("child"), F.col("vals").alias("__step")),
+        "child",
+        "left",
+    )
+    self_edge = F.col("child") == F.col("__p")
+    loops = (
+        ue.groupBy(F.col("parent").alias("__u2"))
+        .agg(
+            F.first("__p", ignorenulls=True).alias("node_id"),
+            F.first("__init_vals", ignorenulls=True).alias("__init_vals"),
+            F.first("__op", ignorenulls=True).alias("__op"),
+            F.count(F.lit(1)).alias("__n_args_u"),
+            F.sum(self_edge.cast("int")).alias("__n_self"),
+            F.min(F.when(self_edge, F.col("pos"))).alias("__self_pos"),
+            F.first(
+                F.when(~self_edge, F.col("__step")), ignorenulls=True
+            ).alias("__step_vals"),
+            F.count(F.when(~self_edge, F.col("__step"))).alias("__n_step"),
+        )
+        .filter(
+            (F.col("__n_args_u") == 2)
+            & (F.col("__n_self") == 1)
+            & (F.col("__n_step") == 1)
+            & (F.col("__op").isin(["add", "mul"]) | (F.col("__self_pos") == 0))
+        )
+    )
+
+    ks = F.sequence(F.lit(0), F.lit(max_loop_iters - 1))
+    op = F.col("__op")
+
+    def orbit(v0, c):
+        kd = lambda k: k.cast("double")  # noqa: E731
+        return (
+            F.when(op == "add", F.transform(ks, lambda k: v0 + kd(k) * c))
+            .when(op == "sub", F.transform(ks, lambda k: v0 - kd(k) * c))
+            .when(op == "mul", F.transform(ks, lambda k: v0 * F.pow(c, kd(k))))
+            .when(
+                op == "div",
+                F.when(c != 0, F.transform(ks, lambda k: v0 / F.pow(c, kd(k)))),
+            )
+        )
+
+    unrolled = F.flatten(
+        F.transform(
+            F.col("__init_vals"),
+            lambda v0: F.flatten(
+                F.filter(
+                    F.transform(F.col("__step_vals"), lambda c: orbit(v0, c)),
+                    lambda arr: arr.isNotNull(),
+                )
+            ),
+        )
+    )
+    return (
+        loops.select(
+            "node_id", F.sort_array(F.array_distinct(unrolled)).alias("__set")
+        )
+        .filter(F.col("__set").isNotNull() & (F.size("__set") > 0))
+        .select(
+            "node_id",
+            F.slice(F.col("__set"), 1, max_set_size).alias("vals"),
+            F.lit(True).alias("truncated"),
+        )
+    )
+
+
 def evaluate_expression_sets(
     nodes: DataFrame,
     edges: DataFrame,
     max_rounds: int = 32,
     max_set_size: int = 32,
+    max_loop_iters: int = 20,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """MultiValueEvaluator analog (reference analysis/
@@ -69,8 +208,14 @@ def evaluate_expression_sets(
     zero-divisor pairs (each is the reference's cannotEvaluate); a node
     whose set ends up empty stays unevaluated. Set sizes cap at
     max_set_size (sorted, smallest kept) and the `truncated` flag
-    reports it — bounded like the reference, never silent. Returns
-    (node_id, vals array<double>, truncated)."""
+    reports it — bounded like the reference, never silent.
+
+    Loop-carried counters (i = f(i, c) phi/op cycles) no longer stay
+    unevaluated: when the acyclic fixpoint stalls, _resolve_simple_loops
+    unrolls each simple cycle's bounded orbit (max_loop_iters values,
+    reference MAX_DEPTH=20) with truncated=True, and evaluation then
+    continues downstream of the loop. Returns (node_id, vals
+    array<double>, truncated)."""
     edges = _with_pos(edges)
     vals = _ckpt(
         nodes.filter(F.col("kind") == "lit")
@@ -157,7 +302,17 @@ def evaluate_expression_sets(
             checkpoint_dir,
         )
         if solved.isEmpty():
-            break
+            # acyclic progress stalled: try the reference's simple-loop
+            # unrolling before giving up (cycles otherwise stay
+            # unevaluated forever)
+            solved = _ckpt(
+                _resolve_simple_loops(
+                    vals, pending, edges, max_loop_iters, max_set_size
+                ),
+                checkpoint_dir,
+            )
+            if solved.isEmpty():
+                break
         vals = _ckpt(vals.unionByName(solved), checkpoint_dir)
         pending = _ckpt(
             pending.join(solved.select("node_id"), "node_id", "left_anti"),

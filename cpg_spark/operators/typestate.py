@@ -101,3 +101,138 @@ def dfa_evaluate(
         ).alias("ok"),
         run.getField("viol").alias("violation_idx"),
     )
+
+
+def dfa_evaluate_branched(
+    nodes: DataFrame,
+    edges: DataFrame,
+    transitions: DataFrame,
+    key_col: str,
+    start_state: str = "S0",
+    accept_states: tuple[str, ...] = (),
+    max_depth: int = 64,
+    max_paths: int = 10_000,
+    honor_unreachable: bool = True,
+) -> DataFrame:
+    """DFA evaluation over a BRANCHED per-object EOG, one verdict per
+    path — the part of the reference's DFAOrderEvaluator that
+    dfa_evaluate's single-sequence fold cannot express (reference
+    cpg-analysis/.../analysis/fsm/DFAOrderEvaluator.kt:72-520 walks the
+    EOG per base object with a worklist that FORKS at branch nodes,
+    because a call sequence can be clean on one branch and violating on
+    the other; dfa_evaluate assumes one total order per key).
+
+    nodes(key_col, node, symbol): every EOG node emits one symbol.
+    edges(key_col, src, dst[, unreachable]): the branched EOG; dead
+    edges (UnreachableEOGPass flags) are skipped when
+    honor_unreachable — an eliminated branch contributes no paths,
+    the reference's consumption rule. transitions(src_state, symbol,
+    dst_state) is dictionary-sized and closes over the walker.
+
+    Per key: entry nodes are those with no incoming live edge; every
+    entry-to-terminal path (terminal = no outgoing live edge) up to
+    max_depth nodes is walked, consuming each visited node's symbol
+    from start_state. A missing transition freezes the state and
+    records the 0-based violation position (the walk still completes
+    the path so the verdict names the full witness); otherwise ok =
+    final state ∈ accept_states.
+
+    Spark shape: per-object EOGs are SMALL PRIVATE DAGs (the
+    bfs_reach_grouped argument — the reference walks them sequentially
+    per object for the same reason), so the enumeration runs inside one
+    grouped-map task per key: one shuffle total, millions of keys in
+    parallel, zero driver iterations. Nodes and edges are unioned into
+    one tagged frame (not cogrouped — shared-lineage inputs trip the
+    ambiguous-self-join analyzer). Paths/depth are capped with a
+    per-key `truncated` flag — bounded, never silent (capped-witness
+    pattern).
+
+    Returns (key_col, path string 'n0>n1>…', n_nodes int, final_state,
+    ok boolean, violation_idx int, truncated boolean); violation_idx =
+    -1 for a clean path."""
+    import pandas as pd
+
+    trans = {
+        (r["src_state"], r["symbol"]): r["dst_state"]
+        for r in transitions.select("src_state", "symbol", "dst_state").collect()
+    }
+    if honor_unreachable and "unreachable" in edges.columns:
+        edges = edges.filter(~F.coalesce(F.col("unreachable"), F.lit(False)))
+    n = nodes.select(
+        key_col,
+        F.col("node").alias("__a"),
+        F.col("node").alias("__b"),
+        F.col("symbol").alias("__sym"),
+        F.lit(False).alias("__is_edge"),
+    )
+    e = edges.select(
+        key_col,
+        F.col("src").alias("__a"),
+        F.col("dst").alias("__b"),
+        F.lit(None).cast("string").alias("__sym"),
+        F.lit(True).alias("__is_edge"),
+    )
+    both = n.unionByName(e)
+    ktype = n.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {ktype}, path string, n_nodes int, final_state string, "
+        "ok boolean, violation_idx int, truncated boolean"
+    )
+    accept = set(accept_states)
+
+    def solve(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        is_edge = pdf["__is_edge"].to_numpy()
+        syms: dict = {}
+        adj: dict = {}
+        has_in: set = set()
+        for a, b, sym, ed in zip(pdf["__a"], pdf["__b"], pdf["__sym"], is_edge):
+            if ed:
+                adj.setdefault(a, []).append(b)
+                has_in.add(b)
+            else:
+                syms[a] = sym
+        entries = sorted(k for k in syms if k not in has_in)
+        rows = []
+        truncated = False
+        # iterative DFS; each stack entry is a complete walk prefix
+        stack = []
+        for ent in reversed(entries):
+            s2 = trans.get((start_state, syms[ent]))
+            stack.append(
+                ([ent], s2 if s2 is not None else start_state,
+                 -1 if s2 is not None else 0)
+            )
+        while stack:
+            path, state, viol = stack.pop()
+            succs = sorted(set(adj.get(path[-1], ())))
+            if not succs:
+                if len(rows) >= max_paths:
+                    truncated = True
+                    break
+                rows.append((">".join(map(str, path)), len(path), state, viol))
+                continue
+            if len(path) >= max_depth:
+                truncated = True  # unterminated path dropped, flagged
+                continue
+            for s in reversed(succs):
+                if viol >= 0:
+                    stack.append((path + [s], state, viol))
+                else:
+                    nx = trans.get((state, syms[s]))
+                    stack.append(
+                        (path + [s], nx if nx is not None else state,
+                         -1 if nx is not None else len(path))
+                    )
+        return pd.DataFrame(
+            {
+                key_col: [key[0]] * len(rows),
+                "path": [r[0] for r in rows],
+                "n_nodes": [r[1] for r in rows],
+                "final_state": [r[2] for r in rows],
+                "ok": [r[3] < 0 and r[2] in accept for r in rows],
+                "violation_idx": [r[3] for r in rows],
+                "truncated": [truncated] * len(rows),
+            }
+        )
+
+    return both.groupBy(key_col).applyInPandas(solve, out_schema)

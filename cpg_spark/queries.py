@@ -1131,6 +1131,157 @@ FROM walk GROUP BY doc_id, chunk_idx
 """
 
 
+def q_eog_dfa_branched(spark, sf_dir):
+    """DFA typestate evaluation over BRANCHING corpus EOG paths — the
+    reference DFAOrderEvaluator's branch handling (DFAOrderEvaluator.kt:
+    72-520: the EOG worklist FORKS at branch nodes because a call
+    sequence can be clean on one path and violating on another;
+    events_order_dfa only covers the single-total-order case).
+
+    Same per-document chunk EOG as eog_corpus_reach, but the guard
+    conditions are treated as UNKNOWN (no constant folding), so BOTH
+    branches stay live — the reference's conservative rule when a
+    condition doesn't fold: every path must be checked. Each chunk
+    emits one symbol: 'g' for guard chunks, else 'e'/'o' by text-length
+    parity. Planted protocol DFA: parity toggling S0<->S1 on 'o',
+    self-loop on 'e', and 'g' permitted ONLY in S0 (no (S1,'g')
+    transition — hitting a guard in odd-parity state is the order
+    violation). Accept = S0. One verdict row per (doc, path); branchy
+    docs organically produce paths with different verdicts."""
+    from .operators import typestate
+
+    docs = t_par(spark, sf_dir, "documents")
+    toks = textstats.doc_tokens(F.col("text"))
+    chunks = (
+        docs.filter(F.size(toks) > 0)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.posexplode(
+                F.transform(chunk_array(toks, 10), lambda c: F.array_join(c, " "))
+            ).alias("chunk_idx", "chunk_text"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.array_contains(F.split("chunk_text", " "), "spark").alias("guard"),
+            (F.length("chunk_text") % 2 == 0).alias("even"),
+        )
+    )
+    nodes = chunks.select(
+        "doc_id",
+        F.col("chunk_idx").alias("node"),
+        F.when(F.col("guard"), F.lit("g"))
+        .when(F.col("even"), F.lit("e"))
+        .otherwise(F.lit("o"))
+        .alias("symbol"),
+    )
+    src = chunks.select("doc_id", F.col("chunk_idx").alias("src"), "guard")
+    tgt = chunks.select(
+        F.col("doc_id").alias("__d"), F.col("chunk_idx").alias("__i")
+    )
+
+    def hop(n):
+        return src.join(
+            tgt,
+            (F.col("doc_id") == F.col("__d"))
+            & (F.col("__i") == F.col("src") + n),
+        ).select("doc_id", "src", F.col("__i").alias("dst"), "guard")
+
+    edges = (
+        hop(1)  # linear successor AND every guard's true branch
+        .unionByName(hop(2).filter(F.col("guard")))  # guard false branch
+        .drop("guard")
+    )
+    transitions = spark.createDataFrame(
+        [
+            ("S0", "e", "S0"),
+            ("S1", "e", "S1"),
+            ("S0", "o", "S1"),
+            ("S1", "o", "S0"),
+            ("S0", "g", "S0"),
+        ],
+        "src_state string, symbol string, dst_state string",
+    )
+    out = typestate.dfa_evaluate_branched(
+        nodes,
+        edges,
+        transitions,
+        key_col="doc_id",
+        start_state="S0",
+        accept_states=("S0",),
+        max_depth=33,
+    )
+    return out.select(
+        "doc_id", "path", "n_nodes", "final_state", "ok", "violation_idx"
+    )
+
+
+# the planted DFA's transition function, inlined twice in the oracle
+# (base + recursive arm of the CTE); NULL = missing transition
+_DFA_STEP = """CASE
+  WHEN {sym} = 'e' THEN {state}
+  WHEN {sym} = 'o' THEN (CASE WHEN {state} = 'S0' THEN 'S1' ELSE 'S0' END)
+  WHEN {sym} = 'g' AND {state} = 'S0' THEN 'S0'
+  ELSE NULL END"""
+
+_STEP0 = _DFA_STEP.format(sym="sym", state="'S0'")
+_STEPR = _DFA_STEP.format(sym="s2.sym", state="w.state")
+
+SQL_EOG_DFA_BRANCHED = f"""
+WITH RECURSIVE chunks AS (
+  SELECT doc_id, CAST(u[2] AS BIGINT) AS chunk_idx,
+         list_contains(string_split(u[1], ' '), 'spark') AS guard,
+         length(u[1]) % 2 = 0 AS even
+  FROM (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           unnest(list_zip(chunks, range(0, len(chunks)))) AS u
+    FROM (
+      SELECT doc_id,
+             list_transform(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)),
+               i -> array_to_string(toks[i*10+1 : i*10+10], ' ')) AS chunks
+      FROM (SELECT doc_id, {TOKEN_SQL} AS toks FROM documents)
+      WHERE len(toks) > 0))
+), syms AS (
+  SELECT doc_id, chunk_idx,
+         CASE WHEN guard THEN 'g' WHEN even THEN 'e' ELSE 'o' END AS sym
+  FROM chunks
+), edges AS (
+  SELECT s.doc_id, s.chunk_idx AS src, d.chunk_idx AS dst
+  FROM chunks s JOIN chunks d
+    ON s.doc_id = d.doc_id AND d.chunk_idx = s.chunk_idx + 1
+  UNION ALL
+  SELECT s.doc_id, s.chunk_idx, d.chunk_idx
+  FROM chunks s JOIN chunks d
+    ON s.doc_id = d.doc_id AND d.chunk_idx = s.chunk_idx + 2
+  WHERE s.guard
+), walk AS (
+  SELECT doc_id, chunk_idx AS node,
+         CAST(chunk_idx AS VARCHAR) AS path,
+         COALESCE({_STEP0}, 'S0') AS state,
+         CASE WHEN ({_STEP0}) IS NULL THEN 0 ELSE -1 END AS viol,
+         1 AS n
+  FROM syms WHERE chunk_idx = 0
+  UNION ALL
+  SELECT e.doc_id, e.dst, w.path || '>' || CAST(e.dst AS VARCHAR),
+         CASE WHEN w.viol >= 0 THEN w.state
+              ELSE COALESCE({_STEPR}, w.state) END,
+         CASE WHEN w.viol >= 0 THEN w.viol
+              WHEN ({_STEPR}) IS NULL THEN w.n ELSE -1 END,
+         w.n + 1
+  FROM walk w
+  JOIN edges e ON e.doc_id = w.doc_id AND e.src = w.node
+  JOIN syms s2 ON s2.doc_id = e.doc_id AND s2.chunk_idx = e.dst
+  WHERE w.n < 33
+)
+SELECT w.doc_id, w.path, w.n AS n_nodes, w.state AS final_state,
+       (w.viol < 0 AND w.state = 'S0') AS ok, w.viol AS violation_idx
+FROM walk w
+LEFT JOIN (SELECT DISTINCT doc_id, src FROM edges) o
+  ON o.doc_id = w.doc_id AND o.src = w.node
+WHERE o.src IS NULL
+"""
+
+
 # ---------------------------------------------------------------------------
 # 3. KG construction over the documents table
 
@@ -1643,6 +1794,97 @@ rows AS (
 SELECT node_id,
        array_to_string(list_transform(vals, v -> CAST(v AS VARCHAR)), ',') AS vals_csv,
        FALSE AS truncated
+FROM rows
+"""
+
+
+def q_eval_loop_unroll(spark, sf_dir):
+    """Bounded loop unrolling (r3 verdict #4 — the reference
+    MultiValueEvaluator's handleSimpleLoopVariable,
+    MultiValueEvaluator.kt:43-60 MAX_DEPTH=20, loop detection :179+):
+    a loop-carried counter i = i + c must yield the bounded value set
+    {v0, v0+c, 2c, …} instead of staying unevaluated on its DFG cycle.
+
+    Planted per 50-key customer block s: init lit v0 = s%5 (node s),
+    step lit c = s%3+1 (node s+1, never zero), the cycle phi P(s+10) ⇄
+    add U(s+11), and a DOWNSTREAM mul D(s+12) = P·c proving evaluation
+    continues past the loop. Oracle = the closed-form orbit over the
+    same keys; loop-resolved nodes carry truncated=TRUE (the DFG holds
+    no loop bound — the cap is inherent, never silent)."""
+    from .operators.evaluate import evaluate_expression_sets
+
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 50 == 0)
+    s = F.col("c_custkey")
+    nulld, nulls = F.lit(None).cast("double"), F.lit(None).cast("string")
+
+    def lit_node(nid, val):
+        return cust.select(
+            nid.cast("long").alias("node_id"), F.lit("lit").alias("kind"),
+            val.cast("double").alias("value"), nulls.alias("op"),
+        )
+
+    def op_node(nid, op):
+        return cust.select(
+            nid.cast("long").alias("node_id"), F.lit("op").alias("kind"),
+            nulld.alias("value"), F.lit(op).alias("op"),
+        )
+
+    nodes = (
+        lit_node(s, s % 5)
+        .union(lit_node(s + 1, s % 3 + 1))
+        .union(op_node(s + 10, "phi"))
+        .union(op_node(s + 11, "add"))
+        .union(op_node(s + 12, "mul"))
+    )
+
+    def edge(a, b, pos):
+        return cust.select(
+            a.cast("long").alias("child"), b.cast("long").alias("parent"),
+            F.lit(pos).cast("int").alias("pos"),
+        )
+
+    nullpos = F.lit(None).cast("int")
+    edges = (
+        edge(s, s + 10, nullpos)          # init -> phi
+        .union(edge(s + 11, s + 10, nullpos))  # update -> phi (the cycle)
+        .union(edge(s + 10, s + 11, 0))   # phi -> update (loop var, pos 0)
+        .union(edge(s + 1, s + 11, 1))    # step -> update
+        .union(edge(s + 10, s + 12, 0))   # phi -> downstream mul
+        .union(edge(s + 1, s + 12, 1))    # step -> downstream mul
+    )
+    out = evaluate_expression_sets(nodes, edges)
+    return out.select(
+        "node_id",
+        F.array_join(
+            F.transform(F.col("vals"), lambda v: v.cast("string")), ","
+        ).alias("vals_csv"),
+        "truncated",
+    )
+
+
+SQL_EVAL_LOOP_UNROLL = """
+WITH k AS (SELECT c_custkey AS s, CAST(c_custkey % 5 AS DOUBLE) AS v0,
+                  CAST(c_custkey % 3 + 1 AS DOUBLE) AS c
+           FROM customer WHERE c_custkey % 50 = 0),
+rows AS (
+  SELECT s AS node_id, [v0] AS vals, FALSE AS truncated FROM k
+  UNION ALL SELECT s + 1, [c], FALSE FROM k
+  -- phi P: the bounded orbit {v0 + i*c : 0 <= i < 20}  (MAX_DEPTH=20)
+  UNION ALL SELECT s + 10,
+    list_sort(list_distinct(list_transform(range(0, 20), i -> v0 + i * c))),
+    TRUE FROM k
+  -- update U: one applied step over P's set
+  UNION ALL SELECT s + 11,
+    list_sort(list_distinct(list_transform(range(0, 20), i -> v0 + (i + 1) * c))),
+    TRUE FROM k
+  -- downstream mul D = P x {c}: pairwise over the orbit
+  UNION ALL SELECT s + 12,
+    list_sort(list_distinct(list_transform(range(0, 20), i -> (v0 + i * c) * c))),
+    TRUE FROM k
+)
+SELECT node_id,
+       array_to_string(list_transform(vals, v -> CAST(v AS VARCHAR)), ',') AS vals_csv,
+       truncated
 FROM rows
 """
 
@@ -2827,6 +3069,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sim_pq_recall": (q_sim_pq_recall, SQL_SIM_PQ_RECALL),
     "sim_ivf_kmeans": (q_sim_ivf_kmeans, None),
     "eog_borders": (q_eog_borders, SQL_EOG_BORDERS),
+    "eog_dfa_branched": (q_eog_dfa_branched, SQL_EOG_DFA_BRANCHED),
+    "eval_loop_unroll": (q_eval_loop_unroll, SQL_EVAL_LOOP_UNROLL),
     # multimodal plumbing
     "mm_payload_meta": (q_mm_payload_meta, SQL_MM_PAYLOAD_META),
 }

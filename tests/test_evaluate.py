@@ -217,3 +217,82 @@ def test_evaluate_checkpoint_dir_equivalence(spark, tmp_path):
         ).collect()
     }
     assert base == ck == {0: 3.0, 1: 4.0, 10: 7.0}
+
+
+def _loop_fixture(spark, op, self_pos, init=0.0, step=3.0):
+    """phi P(2) <-> op U(3) cycle with init lit(0) and step lit(1)."""
+    from cpg_spark.operators.evaluate import evaluate_expression_sets
+
+    nodes = spark.createDataFrame(
+        [(0, "lit", init, None), (1, "lit", step, None),
+         (2, "op", None, "phi"), (3, "op", None, op)],
+        "node_id long, kind string, value double, op string",
+    )
+    edges = spark.createDataFrame(
+        [(0, 2, None), (3, 2, None),
+         (2, 3, self_pos), (1, 3, 1 - self_pos)],
+        "child long, parent long, pos int",
+    )
+    return {
+        r["node_id"]: r
+        for r in evaluate_expression_sets(
+            nodes, edges, max_loop_iters=5
+        ).collect()
+    }
+
+
+def test_loop_unroll_add(spark):
+    """i = i + 3 from 0: the bounded orbit {0,3,6,9,12}, truncated=True
+    (reference handleSimpleLoopVariable, MultiValueEvaluator.kt:43-60);
+    the update node gets one applied step."""
+    out = _loop_fixture(spark, "add", 0)
+    assert list(out[2]["vals"]) == [0.0, 3.0, 6.0, 9.0, 12.0]
+    assert out[2]["truncated"]
+    assert list(out[3]["vals"]) == [3.0, 6.0, 9.0, 12.0, 15.0]
+
+
+def test_loop_unroll_sub_and_mul(spark):
+    out = _loop_fixture(spark, "sub", 0, init=10.0, step=2.0)
+    assert list(out[2]["vals"]) == [2.0, 4.0, 6.0, 8.0, 10.0]
+    out = _loop_fixture(spark, "mul", 0, init=1.0, step=2.0)
+    assert list(out[2]["vals"]) == [1.0, 2.0, 4.0, 8.0, 16.0]
+
+
+def test_loop_unroll_rejects_non_monotone_sub(spark):
+    """c - i flip-flops — not the reference's simple-loop shape: the
+    cycle must stay unevaluated (phi absent from the output)."""
+    out = _loop_fixture(spark, "sub", 1, init=1.0, step=5.0)
+    assert 2 not in out and 3 not in out
+
+
+def test_loop_unroll_zero_divisor_step_unevaluated(spark):
+    """i = i / 0 orbits are cannotEvaluate: the whole set is empty, so
+    the phi stays unevaluated rather than carrying garbage."""
+    out = _loop_fixture(spark, "div", 0, init=8.0, step=0.0)
+    assert 2 not in out
+
+
+def test_loop_unroll_downstream_continues(spark):
+    """Evaluation proceeds PAST the loop: a mul fed by the loop header
+    resolves pairwise over the orbit with truncation propagated."""
+    from cpg_spark.operators.evaluate import evaluate_expression_sets
+
+    nodes = spark.createDataFrame(
+        [(0, "lit", 0.0, None), (1, "lit", 3.0, None),
+         (2, "op", None, "phi"), (3, "op", None, "add"),
+         (4, "op", None, "mul")],
+        "node_id long, kind string, value double, op string",
+    )
+    edges = spark.createDataFrame(
+        [(0, 2, None), (3, 2, None), (2, 3, 0), (1, 3, 1),
+         (2, 4, 0), (1, 4, 1)],
+        "child long, parent long, pos int",
+    )
+    out = {
+        r["node_id"]: r
+        for r in evaluate_expression_sets(
+            nodes, edges, max_loop_iters=5
+        ).collect()
+    }
+    assert list(out[4]["vals"]) == [0.0, 9.0, 18.0, 27.0, 36.0]
+    assert out[4]["truncated"]

@@ -81,3 +81,117 @@ def test_dfa_order_is_by_order_cols(spark):
     ev = _events(spark, [("k", 1, "b"), ("k", 0, "a")])  # shuffled input
     row = dfa_evaluate(ev, dfa, ["k"], ["t"], "sym", "S0", ("S2",)).collect()[0]
     assert row["ok"] and row["final_state"] == "S2"
+
+
+def _branched_inputs(spark):
+    """open/use/close protocol over a branched EOG per base object:
+
+        n0(o) --> n1(u) --> n3(c)     clean path: o u c   -> accept
+        n0(o) --> n2(c) --> n3(c)     bad path:   o c c   -> second c
+                                       has no transition from S0 (viol)
+    """
+    nodes = spark.createDataFrame(
+        [
+            ("x", 0, "o"), ("x", 1, "u"), ("x", 2, "c"), ("x", 3, "c"),
+            # second object: purely linear, non-accepting terminal
+            ("y", 0, "o"), ("y", 1, "u"),
+        ],
+        "k string, node long, symbol string",
+    )
+    edges = spark.createDataFrame(
+        [("x", 0, 1), ("x", 0, 2), ("x", 1, 3), ("x", 2, 3), ("y", 0, 1)],
+        "k string, src long, dst long",
+    )
+    dfa = spark.createDataFrame(
+        [("S0", "o", "OPEN"), ("OPEN", "u", "OPEN"), ("OPEN", "c", "S0")],
+        "src_state string, symbol string, dst_state string",
+    )
+    return nodes, edges, dfa
+
+
+def test_dfa_branched_per_path_verdicts(spark):
+    """The DFAOrderEvaluator branch case (DFAOrderEvaluator.kt:72-520):
+    one branch of the same base object accepts while the other violates
+    — a single-total-order fold cannot see this."""
+    from cpg_spark.operators.typestate import dfa_evaluate_branched
+
+    nodes, edges, dfa = _branched_inputs(spark)
+    rows = {
+        (r["k"], r["path"]): r
+        for r in dfa_evaluate_branched(
+            nodes, edges, dfa, "k", "S0", ("S0",)
+        ).collect()
+    }
+    assert set(rows) == {("x", "0>1>3"), ("x", "0>2>3"), ("y", "0>1")}
+    good = rows[("x", "0>1>3")]
+    assert good["ok"] and good["final_state"] == "S0"
+    assert good["violation_idx"] == -1
+    bad = rows[("x", "0>2>3")]
+    # o c -> back to S0; second c has no transition from S0: viol at 2,
+    # state frozen at S0 but the path is NOT ok
+    assert not bad["ok"] and bad["violation_idx"] == 2
+    assert bad["final_state"] == "S0"
+    # y terminates in OPEN: no violation, just non-accepting
+    ynn = rows[("y", "0>1")]
+    assert not ynn["ok"] and ynn["violation_idx"] == -1
+    assert ynn["final_state"] == "OPEN"
+    assert not any(r["truncated"] for r in rows.values())
+
+
+def test_dfa_branched_honors_unreachable(spark):
+    """A dead branch (UnreachableEOGPass flag) contributes no paths —
+    the ControlFlowSensitiveDFGPass.kt:211-213 consumption rule."""
+    from pyspark.sql import functions as F
+
+    from cpg_spark.operators.typestate import dfa_evaluate_branched
+
+    nodes, edges, dfa = _branched_inputs(spark)
+    edges = edges.withColumn(
+        "unreachable",
+        (F.col("k") == "x") & (F.col("src") == 0) & (F.col("dst") == 2),
+    )
+    rows = dfa_evaluate_branched(
+        nodes, edges, dfa, "k", "S0", ("S0",)
+    ).collect()
+    paths = {(r["k"], r["path"]) for r in rows}
+    # the violating branch is dead; node 2 becomes an entry (no incoming
+    # live edge), spawning its own c->c path — entries are structural
+    assert ("x", "0>2>3") not in paths
+    assert ("x", "0>1>3") in paths and ("x", "2>3") in paths
+
+
+def test_dfa_branched_depth_cap_flags_truncation(spark):
+    """A cycle never terminates: its walks hit max_depth, are dropped,
+    and the key's surviving rows carry truncated=True (capped-witness
+    pattern — never silent)."""
+    from cpg_spark.operators.typestate import dfa_evaluate_branched
+
+    nodes = spark.createDataFrame(
+        [("c", 0, "e"), ("c", 1, "e"), ("c", 2, "e")],
+        "k string, node long, symbol string",
+    )
+    # 0 -> 1 <-> 2 cycle plus a terminal escape 1 -> 2 ... make 0->1,
+    # 1->2, 2->1 (cycle) and 1->3? keep simple: 0->1,1->2,2->1
+    edges = spark.createDataFrame(
+        [("c", 0, 1), ("c", 1, 2), ("c", 2, 1)],
+        "k string, src long, dst long",
+    )
+    dfa = spark.createDataFrame(
+        [("S0", "e", "S0")], "src_state string, symbol string, dst_state string"
+    )
+    rows = dfa_evaluate_branched(
+        nodes, edges, dfa, "k", "S0", ("S0",), max_depth=8
+    ).collect()
+    # no terminal exists: zero path rows — acceptable; truncation is
+    # visible via a bounded probe with a terminal attached
+    nodes2 = nodes.union(
+        spark.createDataFrame([("c", 3, "e")], "k string, node long, symbol string")
+    )
+    edges2 = edges.union(
+        spark.createDataFrame([("c", 2, 3)], "k string, src long, dst long")
+    )
+    rows2 = dfa_evaluate_branched(
+        nodes2, edges2, dfa, "k", "S0", ("S0",), max_depth=6
+    ).collect()
+    assert rows2 and all(r["truncated"] for r in rows2)
+    assert rows == [] or all(r["truncated"] for r in rows)
