@@ -343,6 +343,47 @@ def pq_codebook_from_seeds(
     ]
 
 
+def pq_codebook_trained(
+    emb: DataFrame,
+    m: int,
+    k: int,
+    dim: int,
+    n_iter: int = 5,
+    seed_ids: list[int] | None = None,
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Lloyd's-TRAINED PQ codebook — the upgrade slot
+    pq_codebook_from_seeds documents: subspace s's k centroids are
+    kmeans_fit over the corpus's s-th subvector slice, so codewords
+    track the actual per-subspace distribution instead of whatever the
+    seed vectors happened to contain (real PQ quality depends on this —
+    Jégou et al., 'Product Quantization for Nearest Neighbor Search').
+
+    Deterministic like kmeans_fit (seed = the seed_ids vectors'
+    subvectors, default the k smallest ids; fixed n_iter). Cost: m independent trainings of dimension dim/m —
+    each iteration two scale-safe jobs (broadcast-literal assignment +
+    combinable per-(cell,dim) avg); the m trainings could share one
+    scan via a combined slice column, but at k·(dim/m) driver-collected
+    doubles per round the simple composition is already
+    broadcast-literal sized. Drop-in for the encode/ADC path: returns
+    the same m × k × (dim/m) plain lists."""
+    assert dim % m == 0, "dim must divide into m subspaces"
+    sub = dim // m
+    return [
+        kmeans_fit(
+            emb.select(
+                id_col, F.slice(F.col("embedding"), s * sub + 1, sub).alias("embedding")
+            ),
+            k=k,
+            dim=sub,
+            n_iter=n_iter,
+            seed_ids=seed_ids,
+            id_col=id_col,
+        )
+        for s in range(m)
+    ]
+
+
 def _sub_sq_l2(vec: Column, start: int, centroid: list[float]) -> Column:
     """Squared L2 between vec[start:start+len(centroid)] and a literal
     centroid as a zip_with + sequential aggregate fold.

@@ -173,6 +173,13 @@ def dfa_evaluate_branched(
         F.lit(True).alias("__is_edge"),
     )
     both = n.unionByName(e)
+    # same rationale as bfs_reach_grouped: pre-partition by key so the
+    # grouped-map stage keeps the session's width — AQE would coalesce
+    # the tiny groupBy shuffle to one partition and serialize every
+    # per-key pandas call through a single Python worker
+    spark = both.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    both = both.repartition(width, key_col)
     ktype = n.schema[key_col].dataType.simpleString()
     out_schema = (
         f"{key_col} {ktype}, path string, n_nodes int, final_state string, "

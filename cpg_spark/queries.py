@@ -1024,10 +1024,14 @@ def q_eog_corpus_reach(spark, sf_dir):
     graphs (connected components / SCC)."""
     from .operators import canonicalize
     from .operators.extract import flag_unreachable_edges
+    from .operators.iterutil import ckpt as _ckpt
 
     docs = t_par(spark, sf_dir, "documents")
     toks = textstats.doc_tokens(F.col("text"))
-    chunks = (
+    # chunks is scanned 3x downstream (both hop-join sides + seeds);
+    # materialize the tokenize/chunk kernel ONCE — the same rationale as
+    # bfs_reach's up-front edge materialization
+    chunks = _ckpt(
         docs.filter(F.size(toks) > 0)
         .select(
             F.col("doc_id").cast("long").alias("doc_id"),
@@ -1040,7 +1044,8 @@ def q_eog_corpus_reach(spark, sf_dir):
             F.col("chunk_idx").cast("long").alias("chunk_idx"),
             F.array_contains(F.split("chunk_text", " "), "spark").alias("guard"),
             (F.length("chunk_text") % 2 == 0).alias("cond_value"),
-        )
+        ),
+        None,
     )
     # node ids are plain chunk indices: the group column scopes them per
     # document, so no composite doc#chunk string packing is needed
@@ -1149,10 +1154,13 @@ def q_eog_dfa_branched(spark, sf_dir):
     violation). Accept = S0. One verdict row per (doc, path); branchy
     docs organically produce paths with different verdicts."""
     from .operators import typestate
+    from .operators.iterutil import ckpt as _ckpt
 
     docs = t_par(spark, sf_dir, "documents")
     toks = textstats.doc_tokens(F.col("text"))
-    chunks = (
+    # scanned 4x downstream (nodes + both hop-join sides); materialize
+    # the tokenize/chunk kernel once (bfs_reach's up-front rule)
+    chunks = _ckpt(
         docs.filter(F.size(toks) > 0)
         .select(
             F.col("doc_id").cast("long").alias("doc_id"),
@@ -1165,7 +1173,8 @@ def q_eog_dfa_branched(spark, sf_dir):
             F.col("chunk_idx").cast("long").alias("chunk_idx"),
             F.array_contains(F.split("chunk_text", " "), "spark").alias("guard"),
             (F.length("chunk_text") % 2 == 0).alias("even"),
-        )
+        ),
+        None,
     )
     nodes = chunks.select(
         "doc_id",
@@ -2887,24 +2896,7 @@ def q_sim_pq_recall(spark, sf_dir):
     what the 32× compression costs)."""
     emb = t_par(spark, sf_dir, "embeddings")
     cb = similarity.pq_codebook_from_seeds(emb, _PQ_SEEDS, m=_PQ_M, dim=_EMB_DIM)
-    truth = similarity.cosine_topk(emb, _QUERY_IDS, k=_TOPK).select(
-        "q_id", "neighbor_id"
-    )
-    approx = similarity.pq_adc_topk(
-        emb, cb, _QUERY_IDS, k=_TOPK, dim=_EMB_DIM
-    ).select("q_id", F.col("neighbor_id").alias("__a_n"))
-    matched = truth.join(
-        approx,
-        (truth["q_id"] == approx["q_id"]) & (truth["neighbor_id"] == approx["__a_n"]),
-        "left_semi",
-    )
-    per_q = matched.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_match"))
-    base = truth.select("q_id").distinct()
-    return base.join(per_q, "q_id", "left").select(
-        "q_id",
-        F.coalesce("n_match", F.lit(0)).cast("int").alias("n_match"),
-        (F.coalesce("n_match", F.lit(0)) / F.lit(float(_TOPK))).alias("recall"),
-    )
+    return _pq_recall_df(spark, sf_dir, cb)
 
 
 _SQL_PQ_AT_TOPK = SQL_SIM_PQ_TOPK.replace(
@@ -2940,6 +2932,53 @@ def q_sim_ivf_kmeans(spark, sf_dir):
         emb, k=4, dim=_EMB_DIM, n_iter=3, seed_ids=[0, 1, 2, 3]
     )
     return similarity.ivf_assign_fitted(emb, cents, dim=_EMB_DIM)
+
+
+def _pq_recall_df(spark, sf_dir, codebook):
+    """Per-query recall@k of PQ ADC top-k against brute-force cosine
+    truth for a given codebook (shared by the seeded/trained twins)."""
+    emb = t_par(spark, sf_dir, "embeddings")
+    truth = similarity.cosine_topk(emb, _QUERY_IDS, k=_TOPK).select(
+        "q_id", "neighbor_id"
+    )
+    approx = similarity.pq_adc_topk(
+        emb, codebook, _QUERY_IDS, k=_TOPK, dim=_EMB_DIM
+    ).select("q_id", F.col("neighbor_id").alias("__a_n"))
+    matched = truth.join(
+        approx,
+        (truth["q_id"] == approx["q_id"]) & (truth["neighbor_id"] == approx["__a_n"]),
+        "left_semi",
+    )
+    per_q = matched.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_match"))
+    base = truth.select("q_id").distinct()
+    return base.join(per_q, "q_id", "left").select(
+        "q_id",
+        F.coalesce("n_match", F.lit(0)).cast("int").alias("n_match"),
+        (F.coalesce("n_match", F.lit(0)) / F.lit(float(_TOPK))).alias("recall"),
+    )
+
+
+def q_sim_pq_trained_recall(spark, sf_dir):
+    """Trained-vs-seeded PQ quality (r3 verdict #5): per-subspace
+    Lloyd's-trained codebook (pq_codebook_trained) against the seeded
+    one, recall@k each vs the brute-force cosine truth. Iterative
+    training — no SQL oracle; the driver records the rows-only check
+    and the pytest golden asserts trained ≥ seeded in the mean.
+    Returns (q_id, recall_seeded, recall_trained)."""
+    emb = t_par(spark, sf_dir, "embeddings")
+    cb_seeded = similarity.pq_codebook_from_seeds(
+        emb, _PQ_SEEDS, m=_PQ_M, dim=_EMB_DIM
+    )
+    cb_trained = similarity.pq_codebook_trained(
+        emb, m=_PQ_M, k=len(_PQ_SEEDS), dim=_EMB_DIM, n_iter=3
+    )
+    seeded = _pq_recall_df(spark, sf_dir, cb_seeded).select(
+        "q_id", F.col("recall").alias("recall_seeded")
+    )
+    trained = _pq_recall_df(spark, sf_dir, cb_trained).select(
+        "q_id", F.col("recall").alias("recall_trained")
+    )
+    return seeded.join(trained, "q_id")
 
 
 def q_eog_borders(spark, sf_dir):
@@ -2995,82 +3034,98 @@ FROM documents
 # ---------------------------------------------------------------------------
 # registry
 
+# Registry ordering IS the driver-gate schedule: the correctness harness
+# checks the FIRST 50 entries, so entries are ordered by how much a
+# fresh driver row is worth (r3 verdict #1 — round 3's head-insertions
+# silently rotated 10 green queries out of the gate; this ordering is
+# now deliberate and documented):
+#   tier 1 — never driver-checked (r4 additions + the r3 tail spill);
+#   tier 2 — rotated out of the r3 window (last green row r1/r2);
+#   tier 3 — exactly one green row (r3 only), incl. everything whose
+#            implementation changed this round;
+#   tier 4 — two green rows (r2+r3);
+#   tier 5 — seven thrice-checked flagships kept in-window as canaries
+#            (pipeline stats, KG construction, the CC star loop, exact
+#            dedup, sessionization, co-occurrence).
+# The TAIL (entries 51+) holds only queries green in ALL of r1/r2/r3 —
+# every registry entry therefore has at least one green driver row.
+# New queries must be inserted at the END of tier 1, never mid-window.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # relational / reference-pass analogs
-    "pass_stats_agg": (q_pass_stats_agg, SQL_PASS_STATS_AGG),
-    "link_bestpick": (q_link_bestpick, SQL_LINK_BESTPICK),
-    "link_scope_chain": (q_link_scope_chain, SQL_LINK_SCOPE_CHAIN),
-    "link_scope_inferred": (q_link_scope_inferred, SQL_LINK_SCOPE_INFERRED),
-    "link_scored": (q_link_scored, SQL_LINK_SCORED),
-    "link_imports": (q_link_imports, SQL_LINK_IMPORTS),
-    "graph_compress": (q_graph_compress, SQL_GRAPH_COMPRESS),
-    "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
-    "unresolved_refs": (q_unresolved_refs, SQL_UNRESOLVED_REFS),
-    "nationkey_union": (q_nationkey_union, SQL_NATIONKEY_UNION),
-    "canon_cc": (q_canon_cc, SQL_CANON_CC),
-    "canon_scc": (q_canon_scc, SQL_CANON_SCC),
-    "reach_bfs": (q_reach_bfs, SQL_REACH_BFS),
-    "reach_bfs_paths": (q_reach_bfs_paths, SQL_REACH_BFS_PATHS),
-    "eog_reach_live": (q_eog_reach_live, SQL_EOG_REACH_LIVE),
-    "eog_corpus_reach": (q_eog_corpus_reach, SQL_EOG_CORPUS_REACH),
-    "link_fptr_calls": (q_link_fptr_calls, SQL_LINK_FPTR_CALLS),
-    "dfg_reaching_defs": (q_dfg_reaching_defs, SQL_DFG_REACHING_DEFS),
-    "events_order_check": (q_events_order_check, SQL_EVENTS_ORDER_CHECK),
-    "events_order_dfa": (q_events_order_dfa, SQL_EVENTS_ORDER_DFA),
-    "qt_forall_witness": (q_qt_forall_witness, SQL_QT_FORALL_WITNESS),
-    "eog_order_edges": (q_eog_order_edges, SQL_EOG_ORDER_EDGES),
-    "cooccur_parts": (q_cooccur_parts, SQL_COOCCUR_PARTS),
-    "topk_customers": (q_topk_customers, SQL_TOPK_CUSTOMERS),
-    "order_supp_set": (q_order_supp_set, SQL_ORDER_SUPP_SET),
-    "hotspot_scan": (q_hotspot_scan, SQL_HOTSPOT_SCAN),
-    "brand_price_rank": (q_brand_price_rank, SQL_BRAND_PRICE_RANK),
-    # events
-    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
-    "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
-    # KG over documents
-    "kg_doc_mentions": (q_kg_doc_mentions, SQL_KG_DOC_MENTIONS),
-    "kg_doc_chunks": (q_kg_doc_chunks, SQL_KG_DOC_CHUNKS),
-    "kg_doc_cooccur": (q_kg_doc_cooccur, SQL_KG_DOC_COOCCUR),
-    # string-approximation chain
-    "sa_grammar_accept": (q_sa_grammar_accept, SQL_SA_GRAMMAR_ACCEPT),
-    "sa_dfg_grammar": (q_sa_dfg_grammar, SQL_SA_DFG_GRAMMAR),
-    "sa_ops_grammar": (q_sa_ops_grammar, SQL_SA_OPS_GRAMMAR),
-    "sa_charset_cycle": (q_sa_charset_cycle, SQL_SA_CHARSET_CYCLE),
-    "eval_const_fold": (q_eval_const_fold, SQL_EVAL_CONST_FOLD),
-    "eval_multi_sets": (q_eval_multi_sets, SQL_EVAL_MULTI_SETS),
-    "eval_ops_full": (q_eval_ops_full, SQL_EVAL_OPS_FULL),
-    "eval_set_ops": (q_eval_set_ops, SQL_EVAL_SET_OPS),
-    # text analysis
-    "ts_token_stats": (q_ts_token_stats, SQL_TS_TOKEN_STATS),
-    "ts_quality": (q_ts_quality, SQL_TS_QUALITY),
-    "ts_lang_id": (q_ts_lang_id, SQL_TS_LANG_ID),
-    "ts_fingerprint": (q_ts_fingerprint, SQL_TS_FINGERPRINT),
-    "ts_tfidf_topk": (q_ts_tfidf_topk, SQL_TS_TFIDF_TOPK),
-    "ts_stratified_sample": (q_ts_stratified_sample, SQL_TS_STRATIFIED_SAMPLE),
-    # dedup
-    "dd_exact": (q_dd_exact, SQL_DD_EXACT),
-    "dd_minhash": (q_dd_minhash, SQL_DD_MINHASH),
-    "dd_lsh_pairs": (q_dd_lsh_pairs, SQL_DD_LSH_PAIRS),
-    "dd_jaccard": (q_dd_jaccard, SQL_DD_JACCARD),
-    "dd_jaccard_capped": (q_dd_jaccard_capped, SQL_DD_JACCARD_CAPPED),
-    "dd_jaccard_verify": (q_dd_jaccard_verify, SQL_DD_JACCARD_VERIFY),
-    "dd_simhash": (q_dd_simhash, SQL_DD_SIMHASH),
+    # --- tier 1: never driver-checked -----------------------------------
     "dd_contamination": (q_dd_contamination, SQL_DD_CONTAMINATION),
-    "dd_embedding_neardup": (q_dd_embedding_neardup, SQL_DD_EMBEDDING_NEARDUP),
-    "salted_count": (q_salted_brand_count, SQL_SALTED_BRAND_COUNT),
-    # similarity
-    "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
-    "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
-    "sim_ivf_assign": (q_sim_ivf_assign, SQL_SIM_IVF_ASSIGN),
-    "sim_bucketed_topk": (q_sim_bucketed_topk, SQL_SIM_BUCKETED_TOPK),
     "sim_ann_recall": (q_sim_ann_recall, SQL_SIM_ANN_RECALL),
     "sim_pq_encode": (q_sim_pq_encode, SQL_SIM_PQ_ENCODE),
     "sim_pq_topk": (q_sim_pq_topk, SQL_SIM_PQ_TOPK),
     "sim_pq_recall": (q_sim_pq_recall, SQL_SIM_PQ_RECALL),
-    "sim_ivf_kmeans": (q_sim_ivf_kmeans, None),
+    "sim_pq_trained_recall": (q_sim_pq_trained_recall, None),
     "eog_borders": (q_eog_borders, SQL_EOG_BORDERS),
     "eog_dfa_branched": (q_eog_dfa_branched, SQL_EOG_DFA_BRANCHED),
     "eval_loop_unroll": (q_eval_loop_unroll, SQL_EVAL_LOOP_UNROLL),
-    # multimodal plumbing
+    # --- tier 2: rotated out of the r3 window (last row r1/r2) ----------
+    "dd_jaccard_capped": (q_dd_jaccard_capped, SQL_DD_JACCARD_CAPPED),
+    "dd_jaccard_verify": (q_dd_jaccard_verify, SQL_DD_JACCARD_VERIFY),
+    "dd_simhash": (q_dd_simhash, SQL_DD_SIMHASH),
+    "dd_embedding_neardup": (q_dd_embedding_neardup, SQL_DD_EMBEDDING_NEARDUP),
+    "salted_count": (q_salted_brand_count, SQL_SALTED_BRAND_COUNT),
+    "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
+    "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
+    "sim_ivf_assign": (q_sim_ivf_assign, SQL_SIM_IVF_ASSIGN),
+    "sim_bucketed_topk": (q_sim_bucketed_topk, SQL_SIM_BUCKETED_TOPK),
+    "sim_ivf_kmeans": (q_sim_ivf_kmeans, None),
     "mm_payload_meta": (q_mm_payload_meta, SQL_MM_PAYLOAD_META),
+    # --- tier 3: one green row (r3), incl. r4-changed implementations ---
+    "eog_corpus_reach": (q_eog_corpus_reach, SQL_EOG_CORPUS_REACH),
+    "sa_ops_grammar": (q_sa_ops_grammar, SQL_SA_OPS_GRAMMAR),
+    "sa_charset_cycle": (q_sa_charset_cycle, SQL_SA_CHARSET_CYCLE),
+    "eval_ops_full": (q_eval_ops_full, SQL_EVAL_OPS_FULL),
+    "eval_set_ops": (q_eval_set_ops, SQL_EVAL_SET_OPS),
+    "events_order_dfa": (q_events_order_dfa, SQL_EVENTS_ORDER_DFA),
+    "link_scope_inferred": (q_link_scope_inferred, SQL_LINK_SCOPE_INFERRED),
+    "reach_bfs_paths": (q_reach_bfs_paths, SQL_REACH_BFS_PATHS),
+    "ts_tfidf_topk": (q_ts_tfidf_topk, SQL_TS_TFIDF_TOPK),
+    "ts_stratified_sample": (q_ts_stratified_sample, SQL_TS_STRATIFIED_SAMPLE),
+    # --- tier 4: two green rows (r2+r3) ---------------------------------
+    "link_scope_chain": (q_link_scope_chain, SQL_LINK_SCOPE_CHAIN),
+    "link_scored": (q_link_scored, SQL_LINK_SCORED),
+    "link_imports": (q_link_imports, SQL_LINK_IMPORTS),
+    "graph_compress": (q_graph_compress, SQL_GRAPH_COMPRESS),
+    "canon_scc": (q_canon_scc, SQL_CANON_SCC),
+    "eog_reach_live": (q_eog_reach_live, SQL_EOG_REACH_LIVE),
+    "link_fptr_calls": (q_link_fptr_calls, SQL_LINK_FPTR_CALLS),
+    "dfg_reaching_defs": (q_dfg_reaching_defs, SQL_DFG_REACHING_DEFS),
+    "qt_forall_witness": (q_qt_forall_witness, SQL_QT_FORALL_WITNESS),
+    "sa_grammar_accept": (q_sa_grammar_accept, SQL_SA_GRAMMAR_ACCEPT),
+    "sa_dfg_grammar": (q_sa_dfg_grammar, SQL_SA_DFG_GRAMMAR),
+    "eval_const_fold": (q_eval_const_fold, SQL_EVAL_CONST_FOLD),
+    "eval_multi_sets": (q_eval_multi_sets, SQL_EVAL_MULTI_SETS),
+    # --- tier 5: thrice-checked flagship canaries -----------------------
+    "pass_stats_agg": (q_pass_stats_agg, SQL_PASS_STATS_AGG),
+    "canon_cc": (q_canon_cc, SQL_CANON_CC),
+    "kg_doc_mentions": (q_kg_doc_mentions, SQL_KG_DOC_MENTIONS),
+    "kg_doc_cooccur": (q_kg_doc_cooccur, SQL_KG_DOC_COOCCUR),
+    "dd_exact": (q_dd_exact, SQL_DD_EXACT),
+    "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
+    "cooccur_parts": (q_cooccur_parts, SQL_COOCCUR_PARTS),
+    # ==== entries below are OUTSIDE the driver's first-50 window ========
+    # (each green in all of r1/r2/r3 — the most-verified, most-stable set)
+    "link_bestpick": (q_link_bestpick, SQL_LINK_BESTPICK),
+    "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
+    "unresolved_refs": (q_unresolved_refs, SQL_UNRESOLVED_REFS),
+    "nationkey_union": (q_nationkey_union, SQL_NATIONKEY_UNION),
+    "reach_bfs": (q_reach_bfs, SQL_REACH_BFS),
+    "events_order_check": (q_events_order_check, SQL_EVENTS_ORDER_CHECK),
+    "eog_order_edges": (q_eog_order_edges, SQL_EOG_ORDER_EDGES),
+    "topk_customers": (q_topk_customers, SQL_TOPK_CUSTOMERS),
+    "order_supp_set": (q_order_supp_set, SQL_ORDER_SUPP_SET),
+    "hotspot_scan": (q_hotspot_scan, SQL_HOTSPOT_SCAN),
+    "brand_price_rank": (q_brand_price_rank, SQL_BRAND_PRICE_RANK),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "kg_doc_chunks": (q_kg_doc_chunks, SQL_KG_DOC_CHUNKS),
+    "ts_token_stats": (q_ts_token_stats, SQL_TS_TOKEN_STATS),
+    "ts_quality": (q_ts_quality, SQL_TS_QUALITY),
+    "ts_lang_id": (q_ts_lang_id, SQL_TS_LANG_ID),
+    "ts_fingerprint": (q_ts_fingerprint, SQL_TS_FINGERPRINT),
+    "dd_minhash": (q_dd_minhash, SQL_DD_MINHASH),
+    "dd_lsh_pairs": (q_dd_lsh_pairs, SQL_DD_LSH_PAIRS),
+    "dd_jaccard": (q_dd_jaccard, SQL_DD_JACCARD),
 }

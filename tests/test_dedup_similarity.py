@@ -393,3 +393,57 @@ def test_pq_encode_and_adc(spark):
     top = similarity.pq_adc_topk(emb, cb, [0], k=2, dim=dim).collect()
     ranked = [r["neighbor_id"] for r in sorted(top, key=lambda r: r["rank"])]
     assert ranked[0] == 5  # the near-duplicate wins under ADC
+
+
+def test_pq_trained_beats_degenerate_seeded(spark):
+    """r3 verdict #5: per-subspace Lloyd's training must lift PQ recall
+    over a degenerate seeded codebook. Plant: 4 orthogonal clusters in
+    R^8 (distinct one-hot directions per subspace); the SEEDED codebook
+    takes its codewords from ids 0..3 — all members of cluster 0, so
+    every codeword is nearly identical and ADC distances carry no
+    signal — while training (seeds spread one per cluster) recovers the
+    cluster centers and codes become cluster ids."""
+    rows = []
+    for j in range(4):  # cluster j: hot dim j in subspace 0, (j+1)%4 in 1
+        for t in range(5):
+            v = [0.0] * 8
+            v[j] = 10.0 + t * 0.1
+            v[4 + (j + 1) % 4] = 10.0 + t * 0.1
+            rows.append((j * 10 + t, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = [2, 12, 22, 32]
+    k = 4
+
+    truth = {
+        (r["q_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, queries, k=k).collect()
+    }
+
+    def recall(cb):
+        approx = {
+            (r["q_id"], r["neighbor_id"])
+            for r in similarity.pq_adc_topk(emb, cb, queries, k=k, dim=8).collect()
+        }
+        return len(truth & approx) / len(truth)
+
+    cb_seeded = similarity.pq_codebook_from_seeds(emb, [0, 1, 2, 3], m=2, dim=8)
+    cb_trained = similarity.pq_codebook_trained(
+        emb, m=2, k=4, dim=8, n_iter=4, seed_ids=[0, 10, 20, 30]
+    )
+    r_seeded, r_trained = recall(cb_seeded), recall(cb_trained)
+    assert r_trained >= 0.9, r_trained
+    assert r_trained > r_seeded, (r_trained, r_seeded)
+
+
+def test_pq_trained_codebook_shape_and_determinism(spark):
+    """Trained codebook has the m x k x (dim/m) shape and is identical
+    across calls (content-deterministic, parallelism-independent)."""
+    rows = [(i, [float((i * 7 + d * 3) % 5) for d in range(8)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb1 = similarity.pq_codebook_trained(emb, m=2, k=3, dim=8, n_iter=2)
+    cb2 = similarity.pq_codebook_trained(
+        emb.repartition(7), m=2, k=3, dim=8, n_iter=2
+    )
+    assert len(cb1) == 2 and all(len(s) == 3 for s in cb1)
+    assert all(len(c) == 4 for s in cb1 for c in s)
+    assert cb1 == cb2

@@ -26,7 +26,7 @@ def test_contract_shape():
     # every oracle key must be a query key
     assert set(oracles) <= set(qs)
     # only genuinely iterative / non-SQL-expressible ops may be rows-only
-    rows_only_allowed = {"sim_ivf_kmeans"}
+    rows_only_allowed = {"sim_ivf_kmeans", "sim_pq_trained_recall"}
     assert set(qs) - set(oracles) <= rows_only_allowed
 
 
@@ -58,3 +58,33 @@ def test_query_matches_oracle(spark, duck, name):
     sql = se.oracle_sql()[name]
     diag = compare_query(spark, duck, fn, sql, SF_DIR)
     assert diag is None, f"{name}: {diag}"
+
+
+def test_registry_window_schedule():
+    """The driver checks the FIRST 50 registry entries (r3 verdict #1:
+    head-insertions silently rotated 10 green queries out of the gate).
+    Guard the documented schedule: every entry that has never had a
+    green driver row (r4's tier 1) must sit inside the window, and the
+    tail may only hold the thrice-checked r1+r2+r3 stable set."""
+    from cpg_spark.queries import QUERIES
+
+    names = list(QUERIES)
+    window, tail = set(names[:50]), names[50:]
+    never_checked = {
+        "dd_contamination", "sim_ann_recall", "sim_pq_encode",
+        "sim_pq_topk", "sim_pq_recall", "sim_pq_trained_recall",
+        "eog_borders", "eog_dfa_branched", "eval_loop_unroll",
+    }
+    assert never_checked <= window, never_checked - window
+    thrice_checked = {
+        "pass_stats_agg", "link_bestpick", "region_revenue",
+        "unresolved_refs", "nationkey_union", "canon_cc", "reach_bfs",
+        "events_order_check", "eog_order_edges", "cooccur_parts",
+        "topk_customers", "order_supp_set", "hotspot_scan",
+        "brand_price_rank", "events_hourly", "events_sessions",
+        "kg_doc_mentions", "kg_doc_chunks", "kg_doc_cooccur",
+        "ts_token_stats", "ts_quality", "ts_lang_id", "ts_fingerprint",
+        "dd_exact", "dd_minhash", "dd_lsh_pairs", "dd_jaccard",
+    }
+    not_stable = [n for n in tail if n not in thrice_checked]
+    assert not not_stable, f"tail must stay thrice-checked-only: {not_stable}"
