@@ -85,6 +85,16 @@ def reaching_definitions(edges: DataFrame, defs: DataFrame) -> DataFrame:
         edges = edges.filter(~F.coalesce(F.col("unreachable"), F.lit(False)))
     e = edges.select("func_id", "src_block", "dst_block")
     d = defs.select("func_id", "block_id", "var", "def_id")
+    # pre-partition both sides by key at the session width (the
+    # bfs_reach_grouped rule): AQE would coalesce the cogroup's tiny
+    # shuffles to one partition and serialize every per-function pandas
+    # call through a single Python worker; matching explicit widths on
+    # both sides also satisfies the cogroup's distribution requirement
+    # with no extra exchange
+    spark = e.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = e.repartition(width, "func_id")
+    d = d.repartition(width, "func_id")
 
     def solve(key, edges_pdf, defs_pdf):
         out = _solve_function(edges_pdf, defs_pdf)

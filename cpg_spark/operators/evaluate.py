@@ -19,7 +19,10 @@ Operator coverage mirrors ValueEvaluator.kt:119-141 (binary + - * /),
   order-insensitive (no pos needed): add, mul, min, max, neg
   ordered (edges must carry pos):    sub (0-1), div (0/1),
                                      gt/lt/ge/le/eq (0 vs 1),
-                                     cond (pos0 ? pos1 : pos2)
+                                     cond (pos0 ? pos1 : pos2),
+                                     subscript (pos0 = index,
+                                       pos1..n = array elements —
+                                       ValueEvaluator.kt:299)
 Comparisons fold to 1.0 / 0.0 (one value column; the reference returns
 Boolean). Division by zero folds to NO value — the node stays
 unevaluated, the reference's "cannot evaluate" rule (ValueEvaluator.kt
@@ -246,6 +249,17 @@ def evaluate_expression_sets(
             F.flatten(
                 F.collect_list(F.when(F.col("pos") >= 1, F.col("vals")))
             ).alias("__branches"),
+            # pos -> value-set map for positional element access
+            # (subscript); collect_list drops the null entries of
+            # pos-less edges, so no null map keys
+            F.map_from_entries(
+                F.collect_list(
+                    F.when(
+                        F.col("pos").isNotNull(),
+                        F.struct(F.col("pos"), F.col("vals")),
+                    )
+                )
+            ).alias("__bypos"),
             F.max(F.col("truncated").cast("int")).alias("__trunc_in"),
         )
 
@@ -281,6 +295,25 @@ def evaluate_expression_sets(
             # both branches possible, like the reference's
             # ConditionalExpression handling in MultiValueEvaluator
             .when(F.col("op") == "cond", F.col("__branches"))
+            # array subscript over a value-set index (reference
+            # handleArraySubscriptionExpression, ValueEvaluator.kt:299;
+            # MultiValueEvaluator explores every index in the set):
+            # pos 0 = the index, pos 1..n = the array elements in
+            # order; out-of-bounds indices are cannotEvaluate (dropped)
+            .when(
+                F.col("op") == "subscript",
+                F.flatten(
+                    F.filter(
+                        F.transform(
+                            F.col("__a"),
+                            lambda i: F.try_element_at(
+                                F.col("__bypos"), i.cast("int") + 1
+                            ),
+                        ),
+                        lambda arr: arr.isNotNull(),
+                    )
+                ),
+            )
         )
         solved = _ckpt(
             pending.join(ready, "node_id")
@@ -361,6 +394,15 @@ def evaluate_expressions(
                 F.min(F.when(F.col("pos") == 0, F.col("value"))).alias("__a"),
                 F.min(F.when(F.col("pos") == 1, F.col("value"))).alias("__b"),
                 F.min(F.when(F.col("pos") == 2, F.col("value"))).alias("__c"),
+                # pos -> value map for positional element access
+                F.map_from_entries(
+                    F.collect_list(
+                        F.when(
+                            F.col("pos").isNotNull(),
+                            F.struct(F.col("pos"), F.col("value")),
+                        )
+                    )
+                ).alias("__bypos"),
             )
         )
         a, b, c = F.col("__a"), F.col("__b"), F.col("__c")
@@ -388,6 +430,15 @@ def evaluate_expressions(
                 # pos0 ? pos1 : pos2 (the reference folds conditionals
                 # whose condition folds to a constant)
                 .when(F.col("op") == "cond", F.when(a != 0, b).otherwise(c))
+                # arr[idx]: pos 0 = the index, pos 1..n = the elements
+                # in order (reference handleArraySubscriptionExpression,
+                # ValueEvaluator.kt:299 — an ArrayCreation initializer
+                # list indexed by a folded constant); out-of-bounds ->
+                # NULL -> cannotEvaluate
+                .when(
+                    F.col("op") == "subscript",
+                    F.try_element_at(F.col("__bypos"), a.cast("int") + 1),
+                )
                 .alias("value"),
             )
             .filter(F.col("value").isNotNull()),

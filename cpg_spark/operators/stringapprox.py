@@ -137,8 +137,16 @@ def entity_surface_patterns(alias_dict: DataFrame, canon: DataFrame) -> DataFram
     # grouped map: one component per group (components are small — the
     # reference computes per-hotspot automata locally for the same reason,
     # EndToEndStringPropertyTest.kt:54-90; a mapInPandas over a hash
-    # repartition could split a group across Arrow batches)
-    return members.groupBy("component_id").applyInPandas(synth, PATTERN_SCHEMA)
+    # repartition could split a group across Arrow batches). Width is
+    # pinned so AQE cannot coalesce the small shuffle to one partition
+    # and serialize the per-component synthesis.
+    spark = members.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return (
+        members.repartition(width, "component_id")
+        .groupBy("component_id")
+        .applyInPandas(synth, PATTERN_SCHEMA)
+    )
 
 
 def productions_from_dfg(
@@ -404,4 +412,14 @@ def grammar_patterns(prods: DataFrame) -> DataFrame:
             columns=[f.name for f in GRAMMAR_PATTERN_SCHEMA.fields],
         )
 
-    return prods.groupBy("hotspot_id").applyInPandas(synth, GRAMMAR_PATTERN_SCHEMA)
+    # pre-partition at the session width (bfs_reach_grouped rule): the
+    # per-hotspot synthesis is the heavy step, and AQE would coalesce
+    # the small groupBy shuffle to one partition, serializing every
+    # grammar through a single Python worker
+    spark = prods.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return (
+        prods.repartition(width, "hotspot_id")
+        .groupBy("hotspot_id")
+        .applyInPandas(synth, GRAMMAR_PATTERN_SCHEMA)
+    )

@@ -58,7 +58,12 @@ def curate(
     gate_fail = gate_fail | (F.coalesce(F.col("quality"), F.lit(0.0)) < min_quality)
     gated = annotated.withColumn("__gated", gate_fail)
 
-    survivors = gated.filter(~F.col("__gated")).drop("__gated")
+    # fan-out point #1: exact dedup, MinHash, the Jaccard verify, and
+    # the kept/dropped outputs all read the gated survivors — cache so
+    # the tokenize/quality/lang-id gate chain runs once, not per
+    # consumer (a production run materializes this stage to a snapshot;
+    # the cache is the in-session analog, released via `unpersist`)
+    survivors = gated.filter(~F.col("__gated")).drop("__gated").cache()
 
     # exact dedup on normalized text
     exact = dedup.exact_dup_map(survivors).withColumnRenamed(
@@ -70,7 +75,7 @@ def curate(
     # expensive intersection work to the candidates, or LSH saves
     # nothing), closed under CC
     sig = dedup.minhash_signatures(survivors)
-    # fan-out point: the candidate set feeds both sides of the verify
+    # fan-out point #2: the candidate set feeds both sides of the verify
     # join — cache so MinHash+banding runs once (EdgeCachePass analog)
     cand = dedup.lsh_candidate_pairs(sig, max_bucket_size=lsh_max_bucket).cache()
     jac = dedup.jaccard_for_pairs(survivors, cand, max_doc_freq=max_doc_freq)
@@ -109,5 +114,5 @@ def curate(
         "dropped": dropped,
         "dup_map": dup_map,
         "lsh_dropped_buckets": lsh_dropped,
-        "unpersist": lambda: cand.unpersist(),
+        "unpersist": lambda: (cand.unpersist(), survivors.unpersist()),
     }

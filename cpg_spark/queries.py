@@ -1898,6 +1898,75 @@ FROM rows
 """
 
 
+def q_eval_subscript(spark, sf_dir):
+    """Array-subscript folding (reference ValueEvaluator.kt:299
+    handleArraySubscriptionExpression: an ArrayCreation initializer
+    list indexed by a constant-folded subscript yields the element;
+    anything out of bounds is cannotEvaluate). Planted per 50-key
+    customer block s: elements e0=s%7, e1=e0+10, e2=e0+20 at pos 1..3,
+    index lit s%3 at pos 0 → subscript (s+10) folds to e0 + 10·(s%3);
+    a second subscript (s+11) with index 7 is out of bounds and must be
+    ABSENT from the output."""
+    from .operators.evaluate import evaluate_expressions
+
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 50 == 0)
+    s = F.col("c_custkey")
+    nulld, nulls = F.lit(None).cast("double"), F.lit(None).cast("string")
+
+    def lit_node(nid, val):
+        return cust.select(
+            nid.cast("long").alias("node_id"), F.lit("lit").alias("kind"),
+            val.cast("double").alias("value"), nulls.alias("op"),
+        )
+
+    def op_node(nid, op):
+        return cust.select(
+            nid.cast("long").alias("node_id"), F.lit("op").alias("kind"),
+            nulld.alias("value"), F.lit(op).alias("op"),
+        )
+
+    nodes = (
+        lit_node(s, s % 7)
+        .union(lit_node(s + 1, s % 7 + 10))
+        .union(lit_node(s + 2, s % 7 + 20))
+        .union(lit_node(s + 3, s % 3))
+        .union(lit_node(s + 4, F.lit(7)))
+        .union(op_node(s + 10, "subscript"))
+        .union(op_node(s + 11, "subscript"))
+    )
+
+    def edge(a, b, pos):
+        return cust.select(
+            a.cast("long").alias("child"), b.cast("long").alias("parent"),
+            F.lit(pos).cast("int").alias("pos"),
+        )
+
+    edges = (
+        edge(s + 3, s + 10, 0)
+        .union(edge(s, s + 10, 1))
+        .union(edge(s + 1, s + 10, 2))
+        .union(edge(s + 2, s + 10, 3))
+        .union(edge(s + 4, s + 11, 0))
+        .union(edge(s, s + 11, 1))
+        .union(edge(s + 1, s + 11, 2))
+    )
+    return evaluate_expressions(nodes, edges)
+
+
+SQL_EVAL_SUBSCRIPT = """
+WITH k AS (SELECT c_custkey AS s, CAST(c_custkey % 7 AS DOUBLE) AS e0,
+                  c_custkey % 3 AS i
+           FROM customer WHERE c_custkey % 50 = 0)
+SELECT s AS node_id, e0 AS value FROM k
+UNION ALL SELECT s + 1, e0 + 10 FROM k
+UNION ALL SELECT s + 2, e0 + 20 FROM k
+UNION ALL SELECT s + 3, CAST(i AS DOUBLE) FROM k
+UNION ALL SELECT s + 4, 7.0 FROM k
+UNION ALL SELECT s + 10, e0 + 10 * i FROM k
+-- s + 11 (index 7, out of bounds) is cannotEvaluate: absent
+"""
+
+
 def q_eval_ops_full(spark, sf_dir):
     """ValueEvaluator FULL operator coverage (reference
     ValueEvaluator.kt:119-141 folds + - * /; 268-330 folds comparisons
@@ -3061,6 +3130,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "eog_borders": (q_eog_borders, SQL_EOG_BORDERS),
     "eog_dfa_branched": (q_eog_dfa_branched, SQL_EOG_DFA_BRANCHED),
     "eval_loop_unroll": (q_eval_loop_unroll, SQL_EVAL_LOOP_UNROLL),
+    "eval_subscript": (q_eval_subscript, SQL_EVAL_SUBSCRIPT),
     # --- tier 2: rotated out of the r3 window (last row r1/r2) ----------
     "dd_jaccard_capped": (q_dd_jaccard_capped, SQL_DD_JACCARD_CAPPED),
     "dd_jaccard_verify": (q_dd_jaccard_verify, SQL_DD_JACCARD_VERIFY),

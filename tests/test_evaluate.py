@@ -296,3 +296,71 @@ def test_loop_unroll_downstream_continues(spark):
     }
     assert list(out[4]["vals"]) == [0.0, 9.0, 18.0, 27.0, 36.0]
     assert out[4]["truncated"]
+
+
+def test_subscript_folds_initializer_element(spark):
+    """arr[idx] with a constant-folded index picks the element
+    (reference handleArraySubscriptionExpression, ValueEvaluator.kt:299
+    — ArrayCreation initializer indexed by an evaluated constant);
+    out-of-bounds stays unevaluated (cannotEvaluate)."""
+    from cpg_spark.operators.evaluate import evaluate_expressions
+
+    nodes = spark.createDataFrame(
+        [
+            (0, "lit", 7.0, None), (1, "lit", 8.0, None), (2, "lit", 9.0, None),
+            (3, "lit", 1.0, None),          # idx = 1 -> picks 8.0
+            (4, "op", None, "subscript"),
+            (5, "lit", 5.0, None),          # idx = 5 -> out of bounds
+            (6, "op", None, "subscript"),
+            # index itself folds through an op first (multi-round)
+            (7, "op", None, "add"), (8, "lit", 1.0, None),
+            (9, "op", None, "subscript"),
+        ],
+        "node_id long, kind string, value double, op string",
+    )
+    edges = spark.createDataFrame(
+        [
+            (3, 4, 0), (0, 4, 1), (1, 4, 2), (2, 4, 3),
+            (5, 6, 0), (0, 6, 1), (1, 6, 2),
+            (3, 7, 0), (8, 7, 1),           # 1 + 1 = 2
+            (7, 9, 0), (0, 9, 1), (1, 9, 2), (2, 9, 3),  # arr[2] -> 9.0
+        ],
+        "child long, parent long, pos int",
+    )
+    out = {r["node_id"]: r["value"] for r in evaluate_expressions(nodes, edges).collect()}
+    assert out[4] == 8.0
+    assert 6 not in out  # OOB -> cannotEvaluate
+    assert out[9] == 9.0
+
+
+def test_subscript_over_index_set(spark):
+    """MultiValueEvaluator semantics: every index in the set selects its
+    element; OOB indices drop; result is the distinct union."""
+    from cpg_spark.operators.evaluate import evaluate_expression_sets
+
+    nodes = spark.createDataFrame(
+        [
+            (0, "lit", 7.0, None), (1, "lit", 8.0, None),
+            (2, "lit", 0.0, None), (3, "lit", 1.0, None), (4, "lit", 9.0, None),
+            (5, "op", None, "phi"),         # idx set {0, 1}
+            (6, "op", None, "subscript"),
+            (7, "op", None, "phi"),         # idx set {1, 9}: 9 is OOB
+            (8, "op", None, "subscript"),
+        ],
+        "node_id long, kind string, value double, op string",
+    )
+    edges = spark.createDataFrame(
+        [
+            (2, 5, None), (3, 5, None),
+            (5, 6, 0), (0, 6, 1), (1, 6, 2),
+            (3, 7, None), (4, 7, None),
+            (7, 8, 0), (0, 8, 1), (1, 8, 2),
+        ],
+        "child long, parent long, pos int",
+    )
+    out = {
+        r["node_id"]: list(r["vals"])
+        for r in evaluate_expression_sets(nodes, edges).collect()
+    }
+    assert out[6] == [7.0, 8.0]
+    assert out[8] == [8.0]  # idx 9 OOB dropped
