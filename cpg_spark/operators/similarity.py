@@ -185,6 +185,70 @@ def ivf_assign(
     )
 
 
+def ivf_probe_topk(
+    emb: DataFrame,
+    centroid_ids: list[int],
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-probe IVF top-k — the standard recall lever for IVF ANN:
+    each query searches its `nprobe` nearest cells instead of only the
+    nearest one, recovering neighbors that fell just across a cell
+    boundary (the IVF-ADC search loop of Jégou et al.; nprobe=1 is the
+    plain probe, nprobe=#cells degenerates to brute force).
+
+    Scale shape: corpus vectors are assigned to ONE cell each (broadcast
+    centroid join + combinable argmin — the ivf_assign plan, embedding
+    retained); the query side emits (q_id, cell) rows for its nprobe
+    best cells and is BROADCAST into the corpus — the big side never
+    shuffles, and the probe join fans each corpus row out only to the
+    queries probing its cell. One window for the per-query top-k.
+    Returns (q_id, rank, neighbor_id, score), ties to the lower id."""
+    cents = emb.filter(F.col(id_col).isin(centroid_ids)).select(
+        F.col(id_col).alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    cos = lambda a, b: _dot(a, b) / (_norm(a) * _norm(b))  # noqa: E731
+    scored_cells = emb.join(F.broadcast(cents)).withColumn(
+        "cell_score", cos(F.col("c_emb"), F.col("embedding"))
+    )
+    wa = Window.partitionBy(id_col).orderBy(F.desc("cell_score"), F.asc("cell"))
+    corpus = (
+        scored_cells.withColumn("__rn", F.row_number().over(wa))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "embedding", "cell")
+    )
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    q_cells = q.join(F.broadcast(cents)).withColumn(
+        "cell_score", cos(F.col("c_emb"), F.col("q_emb"))
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.desc("cell_score"), F.asc("cell"))
+    probes = (
+        q_cells.withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= nprobe)
+        .select("q_id", "q_emb", "cell")
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .withColumn("score_raw", cos(F.col("q_emb"), F.col("embedding")))
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.desc("score_raw"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "rank",
+            F.col(id_col).alias("neighbor_id"),
+            F.col("score_raw").alias("score"),
+        )
+    )
+
+
 def _nearest_literal_centroid(
     e: Column, centroids: list[list[float]], dim: int
 ) -> Column:

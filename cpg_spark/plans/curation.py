@@ -3,6 +3,14 @@ actually runs — language/quality gates, exact dedup, MinHash-LSH
 candidate generation, Jaccard verification, connected-components
 canonical selection — built entirely from the operators in this repo.
 
+Two surfaces:
+  curate()            one lazy plan (benchmarks, notebooks);
+  CurationPipeline    the same DAG as resumable snapshot stages with
+                      per-stage lineage rows — the KgPipeline contract
+                      applied to curation, so a killed 100 TB curation
+                      job resumes from its last committed stage instead
+                      of re-shingling the corpus.
+
 Stage order (all lazy until materialized):
 
     docs -> lang/quality gate            (textstats; pure map)
@@ -116,3 +124,177 @@ def curate(
         "lsh_dropped_buckets": lsh_dropped,
         "unpersist": lambda: (cand.unpersist(), survivors.unpersist()),
     }
+
+
+# --- resumable staged variant (the KgPipeline contract) ---------------------
+
+CURATION_VERSION = "1"
+
+CURATION_STAGES = ("gate", "candidates", "verified_edges", "dup_map", "kept")
+
+
+def _fingerprint(*parts: str) -> str:
+    import hashlib
+
+    return hashlib.sha1("\x00".join(parts).encode()).hexdigest()
+
+
+class CurationPipeline:
+    """The curation DAG as resumable snapshot stages (same contract as
+    plans.pipeline.KgPipeline: fingerprint = input token + stage
+    version + upstream fingerprints; committed stages are skipped on
+    rerun; every stage appends per-partition lineage rows). The
+    expensive stages — gate (tokenize/quality/lang-id over the whole
+    corpus) and candidates (shingle + MinHash + banding) — are exactly
+    the ones a killed 100 TB job must not repeat."""
+
+    def __init__(
+        self,
+        spark,
+        warehouse: str,
+        run_id: str = "run-0",
+        target_langs: tuple[str, ...] | None = None,
+        min_quality: float = 0.0,
+        near_dup_jaccard: float = 0.8,
+        max_doc_freq: int | None = None,
+        lsh_max_bucket: int | None = None,
+    ):
+        from ..catalog import SnapshotCatalog
+
+        self.spark = spark
+        self.catalog = SnapshotCatalog(warehouse)
+        self.warehouse = warehouse
+        self.run_id = run_id
+        self.params = (
+            target_langs,
+            min_quality,
+            near_dup_jaccard,
+            max_doc_freq,
+            lsh_max_bucket,
+        )
+        self.skipped: list[str] = []
+        self.ran: list[str] = []
+
+    def _stage(self, name: str, fingerprint: str, compute, input_split: str):
+        from ..lineage import StageTimer, append_lineage, partition_counts
+
+        if self.catalog.has_snapshot(name, fingerprint):
+            self.skipped.append(name)
+            return self.catalog.read(self.spark, name)
+        timer = StageTimer()
+        df = compute().cache()
+        pc = partition_counts(df)
+        manifest = self.catalog.write(
+            df, name, fingerprint, stage=name, run_id=self.run_id
+        )
+        append_lineage(
+            self.spark,
+            self.warehouse,
+            self.run_id,
+            name,
+            input_split,
+            rows_in=None,
+            per_partition_out=pc,
+            wall_ms=timer.wall_ms(),
+            snapshot_id=manifest["snapshot_id"],
+        )
+        df.unpersist()
+        self.ran.append(name)
+        return self.catalog.read(self.spark, name)
+
+    def run(self, docs: DataFrame, input_token: str, stop_after: str | None = None):
+        """Run (or resume) curation over docs(doc_id, text, lang, ...).
+        Returns {stage: DataFrame} for every completed stage."""
+        target_langs, min_quality, near_dup_jaccard, max_doc_freq, lsh_max_bucket = (
+            self.params
+        )
+        param_token = repr(self.params)
+        fps: dict[str, str] = {}
+        out: dict[str, DataFrame] = {}
+
+        def fp(stage: str, *upstream: str) -> str:
+            fps[stage] = _fingerprint(
+                input_token,
+                param_token,
+                CURATION_VERSION,
+                stage,
+                *[fps[u] for u in upstream],
+            )
+            return fps[stage]
+
+        def _gate() -> DataFrame:
+            q = textstats.quality_score(docs).select("doc_id", "quality")
+            lid = textstats.lang_id(docs).select("doc_id", "pred_lang")
+            annotated = docs.join(q, "doc_id", "left").join(lid, "doc_id", "left")
+            gate_fail = F.lit(False)
+            if target_langs is not None:
+                gate_fail = gate_fail | ~F.col("pred_lang").isin(list(target_langs))
+            gate_fail = gate_fail | (
+                F.coalesce(F.col("quality"), F.lit(0.0)) < min_quality
+            )
+            return annotated.withColumn("gated", gate_fail)
+
+        gate = self._stage("gate", fp("gate"), _gate, input_token)
+        out["gate"] = gate
+        if stop_after == "gate":
+            return out
+        survivors = gate.filter(~F.col("gated")).drop("gated")
+
+        cand = self._stage(
+            "candidates",
+            fp("candidates", "gate"),
+            lambda: dedup.lsh_candidate_pairs(
+                dedup.minhash_signatures(survivors), max_bucket_size=lsh_max_bucket
+            ),
+            input_token,
+        )
+        out["candidates"] = cand
+        if stop_after == "candidates":
+            return out
+
+        def _verified() -> DataFrame:
+            jac = dedup.jaccard_for_pairs(survivors, cand, max_doc_freq=max_doc_freq)
+            verified = jac.filter(F.col("jaccard") >= near_dup_jaccard).select(
+                "a", "b"
+            )
+            exact = dedup.exact_dup_map(survivors)
+            exact_edges = exact.filter(F.col("is_dup")).select(
+                F.col("doc_id").alias("a"), F.col("canonical_id").alias("b")
+            )
+            return verified.unionByName(exact_edges)
+
+        edges = self._stage(
+            "verified_edges", fp("verified_edges", "candidates"), _verified, input_token
+        )
+        out["verified_edges"] = edges
+        if stop_after == "verified_edges":
+            return out
+
+        def _dup_map() -> DataFrame:
+            cc = canonicalize.connected_components(edges, src="a", dst="b")
+            return (
+                survivors.select("doc_id")
+                .join(cc.withColumnRenamed("member_id", "doc_id"), "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("component_id", "doc_id").alias("canonical_id"),
+                )
+            )
+
+        dup_map = self._stage(
+            "dup_map", fp("dup_map", "verified_edges"), _dup_map, input_token
+        )
+        out["dup_map"] = dup_map
+        if stop_after == "dup_map":
+            return out
+
+        kept = self._stage(
+            "kept",
+            fp("kept", "gate", "dup_map"),
+            lambda: survivors.join(dup_map, "doc_id")
+            .filter(F.col("doc_id") == F.col("canonical_id"))
+            .drop("canonical_id"),
+            input_token,
+        )
+        out["kept"] = kept
+        return out

@@ -2768,6 +2768,53 @@ QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score_raw DESC, cell) = 
 """
 
 
+def q_sim_ivf_probe_topk(spark, sf_dir):
+    """Multi-probe IVF top-k (similarity.ivf_probe_topk, nprobe=2): each
+    query searches its 2 nearest cells — the standard IVF recall lever;
+    neighbors just across the nearest cell's boundary come back. Oracle
+    replays assignment, probe ranking, and in-cell cosine top-k
+    relationally."""
+    return similarity.ivf_probe_topk(
+        t_par(spark, sf_dir, "embeddings"),
+        _IVF_CENTROIDS,
+        _QUERY_IDS,
+        k=3,
+        nprobe=2,
+    )
+
+
+SQL_SIM_IVF_PROBE_TOPK = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS cell, emb AS c_emb FROM e
+  WHERE vec_id IN ({", ".join(map(str, _IVF_CENTROIDS))})
+), ad AS (
+  SELECT e.vec_id, c.cell, e.emb,
+         {_dot_sql('c.c_emb', 'e.emb')} / ({_norm_sql('c.c_emb')} * {_norm_sql('e.emb')}) AS cs
+  FROM e CROSS JOIN c
+), assigned AS (
+  SELECT vec_id, cell, emb FROM ad
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) = 1
+), probes AS (
+  SELECT vec_id AS q_id, cell, emb AS q_emb FROM ad
+  WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) <= 2
+), scored AS (
+  SELECT p.q_id, a.vec_id AS neighbor_id,
+         {_dot_sql('p.q_emb', 'a.emb')} / ({_norm_sql('p.q_emb')} * {_norm_sql('a.emb')}) AS score_raw
+  FROM probes p JOIN assigned a ON a.cell = p.cell
+  WHERE a.vec_id != p.q_id
+)
+SELECT q_id,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY score_raw DESC, neighbor_id) AS INT) AS rank,
+       neighbor_id, score_raw AS score
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
 _BUCKETED_K = 3
 
 
@@ -3131,6 +3178,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "eog_dfa_branched": (q_eog_dfa_branched, SQL_EOG_DFA_BRANCHED),
     "eval_loop_unroll": (q_eval_loop_unroll, SQL_EVAL_LOOP_UNROLL),
     "eval_subscript": (q_eval_subscript, SQL_EVAL_SUBSCRIPT),
+    "sim_ivf_probe_topk": (q_sim_ivf_probe_topk, SQL_SIM_IVF_PROBE_TOPK),
     # --- tier 2: rotated out of the r3 window (last row r1/r2) ----------
     "dd_jaccard_capped": (q_dd_jaccard_capped, SQL_DD_JACCARD_CAPPED),
     "dd_jaccard_verify": (q_dd_jaccard_verify, SQL_DD_JACCARD_VERIFY),

@@ -447,3 +447,47 @@ def test_pq_trained_codebook_shape_and_determinism(spark):
     assert len(cb1) == 2 and all(len(s) == 3 for s in cb1)
     assert all(len(c) == 4 for s in cb1 for c in s)
     assert cb1 == cb2
+
+
+def test_ivf_probe_topk_recall_monotone(spark):
+    """nprobe is the IVF recall lever: nprobe=2 recall >= nprobe=1, and
+    probing every cell equals brute force exactly (same ranked rows)."""
+    rows = []
+    for j in range(4):  # 4 clusters at orthogonal corners
+        for t in range(6):
+            v = [0.0] * 8
+            v[j] = 10.0 + t * 0.1
+            v[4 + (j + 1) % 4] = 1.0 + t * 0.05  # slight cross-cluster pull
+            rows.append((j * 10 + t, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [0, 10, 20, 30]
+    queries = [2, 12, 22]
+    k = 5
+    truth = {
+        (r["q_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, queries, k=k).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r["q_id"], r["neighbor_id"])
+            for r in similarity.ivf_probe_topk(
+                emb, cents, queries, k=k, nprobe=nprobe
+            ).collect()
+        }
+        return len(truth & got) / len(truth)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1
+    # probing all cells IS brute force: identical ranked rows
+    full = {
+        (r["q_id"], r["rank"], r["neighbor_id"])
+        for r in similarity.ivf_probe_topk(
+            emb, cents, queries, k=k, nprobe=4
+        ).collect()
+    }
+    bf = {
+        (r["q_id"], r["rank"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, queries, k=k).collect()
+    }
+    assert full == bf

@@ -114,3 +114,67 @@ def test_stateful_sessions_multi_chunk(spark, events_stream_dir, tmp_path):
         (r["user_id"], r["start"]): (r["end"], r["n"]) for r in closed.collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_streaming_dfa_monitor_matches_batch(spark, tmp_path):
+    """dfa_monitor_stream vs the batch dfa_evaluate fold on the same
+    events: identical violating-key sets, and each streamed violation
+    lands at exactly batch violation_idx + 1 events into the key's
+    sequence (the reference's single-violation freeze rule)."""
+    from cpg_spark.operators.typestate import dfa_evaluate
+    from cpg_spark.streaming.stateful import dfa_monitor_stream
+
+    # composite ts makes (key, ts_us) unique so stream order == batch
+    # order with no tie ambiguity
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        F.col("user_id").alias("key_id"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp")) * 4096
+            + F.col("event_id") % 4096
+        ).alias("ts_us"),
+        F.substring("event_type", 1, 1).alias("symbol"),
+    )
+    d = str(tmp_path / "ev")
+    ev.coalesce(1).write.mode("overwrite").parquet(d)
+
+    # purchase protocol: p before s has no transition (violation)
+    trans = (
+        {("S0", a): "S0" for a in "cev"}
+        | {("S0", "s"): "S1"}
+        | {("S1", a): "S1" for a in "cevs"}
+        | {("S1", "p"): "S2"}
+        | {("S2", a): "S2" for a in "cevsp"}
+    )
+    stream = spark.readStream.schema("key_id long, ts_us long, symbol string").parquet(d)
+    q = (
+        dfa_monitor_stream(stream, trans)
+        .writeStream.format("memory")
+        .queryName("viol")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["key_id"]: r["n_events"] for r in spark.sql("SELECT * FROM viol").collect()
+    }
+
+    dfa_rows = spark.createDataFrame(
+        [(s, a, t) for (s, a), t in trans.items()],
+        "src_state string, symbol string, dst_state string",
+    )
+    batch = dfa_evaluate(
+        spark.read.parquet(d),
+        dfa_rows,
+        key_cols=["key_id"],
+        order_cols=["ts_us"],
+        symbol_col="symbol",
+        start_state="S0",
+        accept_states=("S0", "S1", "S2"),
+    )
+    expected = {
+        r["key_id"]: r["violation_idx"] + 1
+        for r in batch.filter(F.col("violation_idx") >= 0).collect()
+    }
+    assert streamed == expected and len(expected) > 0
