@@ -138,6 +138,26 @@ def extract_text_dispatch(raw: Column, content_type: Column) -> Column:
     )
 
 
+# --- JSON-LD structured-data frontend (third per-format parser) -------------
+#
+# Common-Crawl pages carry schema.org structured data in
+# <script type="application/ld+json"> blocks — for KG construction this
+# is the highest-precision source on the page (typed entities the
+# publisher asserted, no NER needed). The reference analog is another
+# registered language frontend (Language.kt): same page row, different
+# grammar.
+
+JSONLD_BLOCK_REGEX = r'(?s)<script type="application/ld\+json">(.*?)</script>'
+
+
+def jsonld_blocks_col(html: Column) -> Column:
+    """array<string> of raw JSON-LD block bodies embedded in the page —
+    one regexp pass, codegen'd; non-ld <script> tags don't match."""
+    return F.regexp_extract_all(
+        F.decode(html, "UTF-8"), F.lit(JSONLD_BLOCK_REGEX), 1
+    )
+
+
 def sentences_col(text: Column) -> Column:
     """array<string> of sentences (empty strings filtered out)."""
     return F.filter(

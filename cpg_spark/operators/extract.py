@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import extract_text_col, extract_text_dispatch, sentences_col
+from ..functions.text import (
+    extract_text_col,
+    extract_text_dispatch,
+    jsonld_blocks_col,
+    sentences_col,
+)
 from ..synth import MENTION_REGEX, TARGET_LANGS
 
 
@@ -49,6 +54,51 @@ def sentences(pages: DataFrame, target_langs: tuple[str, ...] = TARGET_LANGS) ->
         "url",
         "lang",
         F.posexplode(sentences_col(F.col("text"))).alias("sent_idx", "sentence"),
+    )
+
+
+def jsonld_triples(pages: DataFrame, id_col: str = "url") -> DataFrame:
+    """Structured-data frontend: schema.org JSON-LD blocks → typed
+    triples — the publisher-asserted entities on a Common-Crawl page
+    (highest-precision KG source, no NER involved). The reference
+    analog is one more registered language frontend (Language.kt
+    per-extension dispatch; this one parses a data grammar instead of a
+    programming language).
+
+    Per page: regexp-extract every <script type="application/ld+json">
+    body (one codegen pass), posexplode, parse each block with
+    from_json into map<string,string> — numbers stringify, NESTED
+    values carry their raw JSON text (kept verbatim in `obj` so no
+    structure is lost), malformed blocks parse to NULL and are dropped
+    (skip-don't-fail, TranslationManager.kt:347-351). Subject =
+    @id, else the block's name, else url#block_idx (deterministic
+    blank-node id); '@id'/'@context' are structural and emit no triple,
+    '@type' does (the rdf:type assertion). Pure map — no shuffle, no
+    Python. Returns (<id_col>, block_idx, subj, pred, obj)."""
+    blocks = pages.select(
+        id_col,
+        F.posexplode(jsonld_blocks_col(F.col("html"))).alias(
+            "block_idx", "__block"
+        ),
+    )
+    parsed = blocks.select(
+        id_col,
+        "block_idx",
+        F.from_json("__block", "map<string,string>").alias("__m"),
+    ).filter(F.col("__m").isNotNull())
+    subj = F.coalesce(
+        F.element_at("__m", "@id"),
+        F.element_at("__m", "name"),
+        F.concat(F.col(id_col), F.lit("#"), F.col("block_idx")),
+    )
+    return (
+        parsed.select(
+            id_col,
+            "block_idx",
+            subj.alias("subj"),
+            F.explode("__m").alias("pred", "obj"),
+        )
+        .filter(~F.col("pred").isin("@id", "@context"))
     )
 
 

@@ -1394,6 +1394,73 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_kg_jsonld(spark, sf_dir):
+    """JSON-LD structured-data frontend (extract.jsonld_triples): the
+    publisher-asserted schema.org entities on a page become typed
+    triples directly — the highest-precision KG source Common Crawl
+    carries, and the reference's per-language-frontend registry gains a
+    data-grammar member (Language.kt dispatch analog). Pages are built
+    deterministically from the documents table (an Article block with
+    @id/@type/name/inLanguage/wordCount + an Organization block keyed
+    by name); BOTH engines construct the identical bytes, so the oracle
+    checks the parse path, not the fixture."""
+    from .operators import extract
+
+    docs = t_par(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    b1 = F.concat(
+        F.lit('{"@id":"doc:'), d,
+        F.lit('","@type":"Article","name":"Document '), d,
+        F.lit('","inLanguage":"'), F.col("lang"),
+        F.lit('","wordCount":'), F.col("n_chars").cast("string"),
+        F.lit("}"),
+    )
+    b2 = F.concat(
+        F.lit('{"@type":"Organization","name":"'), F.col("source"), F.lit('"}')
+    )
+    html = F.concat(
+        F.lit('<html><head><script type="application/ld+json">'), b1,
+        F.lit('</script><script type="application/ld+json">'), b2,
+        F.lit("</script></head><body></body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("doc:"), d).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    out = extract.jsonld_triples(pages)
+    return out.select(
+        "url", F.col("block_idx").cast("int").alias("block_idx"),
+        "subj", "pred", "obj",
+    )
+
+
+SQL_KG_JSONLD = """
+WITH pages AS (
+  SELECT 'doc:' || doc_id AS url,
+         '{"@id":"doc:' || doc_id || '","@type":"Article","name":"Document '
+           || doc_id || '","inLanguage":"' || lang || '","wordCount":'
+           || n_chars || '}' AS b1,
+         '{"@type":"Organization","name":"' || source || '"}' AS b2
+  FROM documents
+), blocks AS (
+  SELECT url, 0 AS block_idx, b1 AS block FROM pages
+  UNION ALL
+  SELECT url, 1, b2 FROM pages
+), kv AS (
+  SELECT url, block_idx, block, k AS pred,
+         json_extract_string(block, '$."' || k || '"') AS obj
+  FROM blocks, unnest(json_keys(block)) AS t(k)
+)
+SELECT url, CAST(block_idx AS INT) AS block_idx,
+       COALESCE(json_extract_string(block, '$."@id"'),
+                json_extract_string(block, '$."name"'),
+                url || '#' || block_idx) AS subj,
+       pred, obj
+FROM kv
+WHERE pred NOT IN ('@id', '@context')
+"""
+
+
 def q_link_scope_chain(spark, sf_dir):
     """Scope-chain resolution (reference ScopeManager.kt:625-653 walks
     parent scopes; innermost declaration wins). Planted tree per 50-key
@@ -3179,6 +3246,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "eval_loop_unroll": (q_eval_loop_unroll, SQL_EVAL_LOOP_UNROLL),
     "eval_subscript": (q_eval_subscript, SQL_EVAL_SUBSCRIPT),
     "sim_ivf_probe_topk": (q_sim_ivf_probe_topk, SQL_SIM_IVF_PROBE_TOPK),
+    "kg_jsonld": (q_kg_jsonld, SQL_KG_JSONLD),
     # --- tier 2: rotated out of the r3 window (last row r1/r2) ----------
     "dd_jaccard_capped": (q_dd_jaccard_capped, SQL_DD_JACCARD_CAPPED),
     "dd_jaccard_verify": (q_dd_jaccard_verify, SQL_DD_JACCARD_VERIFY),

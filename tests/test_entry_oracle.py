@@ -74,7 +74,7 @@ def test_registry_window_schedule():
         "dd_contamination", "sim_ann_recall", "sim_pq_encode",
         "sim_pq_topk", "sim_pq_recall", "sim_pq_trained_recall",
         "eog_borders", "eog_dfa_branched", "eval_loop_unroll",
-        "eval_subscript", "sim_ivf_probe_topk",
+        "eval_subscript", "sim_ivf_probe_topk", "kg_jsonld",
     }
     assert never_checked <= window, never_checked - window
     thrice_checked = {

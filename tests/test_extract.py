@@ -211,3 +211,39 @@ def test_branched_eog_from_corpus(spark, pages_df):
     n_guard = edges.filter(F.col("branch").isNotNull()).count()
     n_dead = edges.filter(F.col("unreachable")).count()
     assert n_guard > 0 and n_dead > 0
+
+
+def test_jsonld_triples_edge_cases(spark):
+    """Structured-data frontend contract: malformed blocks skip
+    (don't fail), nested values keep their raw JSON text, a block with
+    neither @id nor name gets the deterministic url#idx blank-node id,
+    non-ld script tags don't match, @id/@context emit no triple."""
+    from cpg_spark.operators.extract import jsonld_triples
+
+    html = (
+        '<html><head>'
+        '<script type="application/ld+json">'
+        '{"@context":"https://schema.org","@id":"e:1","@type":"Person",'
+        '"name":"Ada","address":{"city":"London"}}</script>'
+        '<script type="application/ld+json">not json at all</script>'
+        '<script type="application/ld+json">{"@type":"Thing","k":"v"}</script>'
+        '<script type="text/javascript">{"@type":"Fake","x":"y"}</script>'
+        "</head><body></body></html>"
+    ).encode()
+    pages = spark.createDataFrame([("u1", html)], "url string, html binary")
+    rows = {
+        (r["block_idx"], r["pred"]): (r["subj"], r["obj"])
+        for r in jsonld_triples(pages).collect()
+    }
+    # block 0: @id subject; @id/@context dropped; nested raw JSON kept
+    assert rows[(0, "@type")] == ("e:1", "Person")
+    assert rows[(0, "name")] == ("e:1", "Ada")
+    assert rows[(0, "address")] == ("e:1", '{"city":"London"}')
+    assert (0, "@id") not in rows and (0, "@context") not in rows
+    # block 1 malformed: no rows at any pred
+    assert not any(bi == 1 for bi, _ in rows)
+    # block 2: no @id/name -> url#idx blank node
+    assert rows[(2, "@type")] == ("u1#2", "Thing")
+    assert rows[(2, "k")] == ("u1#2", "v")
+    # the fake script type never matched
+    assert not any(r[1] == "x" for r in rows)
