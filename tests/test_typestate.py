@@ -195,3 +195,86 @@ def test_dfa_branched_depth_cap_flags_truncation(spark):
     ).collect()
     assert rows2 and all(r["truncated"] for r in rows2)
     assert rows == [] or all(r["truncated"] for r in rows)
+
+
+def test_dfa_branched_randomized_differential(spark):
+    """Randomized differential check: dfa_evaluate_branched vs an
+    independent recursive enumerator over random forward-edge DAGs with
+    random symbols and a random partial DFA (seeded — deterministic)."""
+    import random
+
+    from cpg_spark.operators.typestate import dfa_evaluate_branched
+
+    rng = random.Random(20260817)
+    symbols = ["a", "b", "c"]
+    states = ["S0", "S1", "S2"]
+    node_rows, edge_rows, keys = [], [], []
+    for g in range(12):
+        k = f"g{g}"
+        keys.append(k)
+        n = rng.randint(1, 7)
+        syms = {i: rng.choice(symbols) for i in range(n)}
+        for i, s in syms.items():
+            node_rows.append((k, i, s))
+        for i in range(n):
+            for j in range(i + 1, n):
+                if rng.random() < 0.4:
+                    edge_rows.append((k, i, j))
+    # partial DFA: ~60% of (state, sym) pairs defined
+    trans = {}
+    for s in states:
+        for a in symbols:
+            if rng.random() < 0.6:
+                trans[(s, a)] = rng.choice(states)
+    accept = {"S1"}
+
+    def reference(k):
+        """Independent recursive enumeration (different structure from
+        the operator's iterative DFS)."""
+        syms = {i: s for kk, i, s in node_rows if kk == k}
+        adj = {}
+        has_in = set()
+        for kk, a, b in edge_rows:
+            if kk == k:
+                adj.setdefault(a, set()).add(b)
+                has_in.add(b)
+        out = {}
+
+        def walk(node, state, viol, path):
+            nxt_state, nxt_viol = state, viol
+            if viol < 0:
+                t = trans.get((state, syms[node]))
+                if t is None:
+                    nxt_viol = len(path)
+                else:
+                    nxt_state = t
+            path = path + [node]
+            succs = adj.get(node, set())
+            if not succs:
+                out[">".join(map(str, path))] = (
+                    len(path), nxt_state,
+                    nxt_viol < 0 and nxt_state in accept, nxt_viol,
+                )
+                return
+            for s in sorted(succs):
+                walk(s, nxt_state, nxt_viol, path)
+
+        for entry in sorted(i for i in syms if i not in has_in):
+            walk(entry, "S0", -1, [])
+        return out
+
+    nodes = spark.createDataFrame(node_rows, "k string, node long, symbol string")
+    edges = spark.createDataFrame(edge_rows, "k string, src long, dst long")
+    dfa = spark.createDataFrame(
+        [(s, a, t) for (s, a), t in trans.items()],
+        "src_state string, symbol string, dst_state string",
+    )
+    got: dict = {}
+    for r in dfa_evaluate_branched(
+        nodes, edges, dfa, "k", "S0", tuple(accept)
+    ).collect():
+        got.setdefault(r["k"], {})[r["path"]] = (
+            r["n_nodes"], r["final_state"], r["ok"], r["violation_idx"]
+        )
+    for k in keys:
+        assert got.get(k, {}) == reference(k), k
