@@ -93,6 +93,84 @@ def triples_agg(triples: DataFrame) -> DataFrame:
     )
 
 
+def merge_triples_agg(
+    existing: DataFrame,
+    delta: DataFrame,
+    structural_preds: tuple[str, ...] = ("typed_as", "linked_to"),
+) -> DataFrame:
+    """Incremental graph materialization: fold a NEW batch's aggregated
+    triples into the existing table so that
+
+        merge(agg(batch A), agg(batch B)) == agg(A ∪ B)   exactly
+
+    — the property that lets a 10^12-document crawl append per-batch
+    instead of recomputing (equality golden-tested; ids are content
+    hashes, so the triples themselves are batch-independent).
+
+    Two merge rules by predicate class: EVIDENCE predicates (mentions,
+    co_occurs_with — one row per observation) sum their counts;
+    STRUCTURAL predicates (typed_as, linked_to — facts derived from the
+    canonical map / distinct entity attributes, emitted with
+    n_evidence=1 by every batch that sees the entity) take max, because
+    the same fact re-derived by a second batch is confirmation, not new
+    evidence. One shuffle on the combined (subj, pred, obj); with both
+    sides bucketed by subj on a real cluster the exchange disappears."""
+    merged = (
+        existing.unionByName(delta)
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.sum("n_evidence").alias("__sum"),
+            F.max("n_evidence").alias("__max"),
+        )
+    )
+    return merged.select(
+        "subj",
+        "pred",
+        "obj",
+        F.when(F.col("pred").isin(list(structural_preds)), F.col("__max"))
+        .otherwise(F.col("__sum"))
+        .cast("long")
+        .alias("n_evidence"),
+    )
+
+
+def merge_nodes(
+    existing: DataFrame, delta: DataFrame, max_example_urls: int = 5
+) -> DataFrame:
+    """Incremental node-table merge for URL-DISJOINT batches (each url
+    belongs to exactly one batch — the natural crawl partitioning;
+    re-crawled urls must be routed to the batch replacing them):
+    n_mentions and n_pages are then additive, name/type are functionally
+    dependent on the canonical id (any batch's value agrees), inferred
+    flags OR together, and example urls union capped at
+    max_example_urls (sorted — deterministic across merge orders)."""
+    return (
+        existing.unionByName(delta)
+        .groupBy("id")
+        .agg(
+            F.first("kind").alias("kind"),
+            F.first("name").alias("name"),
+            F.first("entity_type").alias("entity_type"),
+            F.max(F.col("is_inferred").cast("int")).cast("boolean").alias(
+                "is_inferred"
+            ),
+            F.sum("n_mentions").cast("long").alias("n_mentions"),
+            F.sum("n_pages").cast("long").alias("n_pages"),
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("example_urls")))
+                ),
+                1,
+                max_example_urls,
+            ).alias("example_urls"),
+        )
+        .select(
+            "id", "kind", "name", "entity_type", "is_inferred",
+            "n_mentions", "n_pages", "example_urls",
+        )
+    )
+
+
 def nodes_table(clinks: DataFrame, max_example_urls: int = 5) -> DataFrame:
     """Canonical node table with mention/page stats; example-url evidence
     is a holistic agg -> salted two-phase collect (operators/skew.py)."""
