@@ -50,12 +50,13 @@ HEADLINE = [
     "ts_tfidf_topk",
     "dd_contamination",
     "sim_pq_topk",
-    # round-4 flagships: per-path DFA over branching EOGs and bounded
-    # loop unrolling in the set evaluator (trained-PQ is correctness-
-    # gated via the registry; its 4x kmeans training is not a headline
-    # shape)
+    # round-4 flagships: per-path DFA over branching EOGs, bounded
+    # loop unrolling in the set evaluator, and the JSON-LD
+    # structured-data frontend (trained-PQ is correctness-gated via the
+    # registry; its 4x kmeans training is not a headline shape)
     "eog_dfa_branched",
     "eval_loop_unroll",
+    "kg_jsonld",
 ]
 
 
