@@ -334,3 +334,67 @@ def contamination_flags(
             (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
         )
     )
+
+
+def chunk_dedup(docs: DataFrame, chunk_tokens: int = 10) -> DataFrame:
+    """Within-corpus exact SEGMENT dedup — the line/paragraph-level pass
+    of web curation (RefinedWeb line dedup; the fixed-window analog of
+    Lee et al.'s exact-substring dedup): repeated boilerplate segments
+    are removed from every document EXCEPT their corpus-first
+    occurrence, and the surviving text is reassembled. Catches the
+    shared headers/footers/navigation that document-level dedup can
+    never see.
+
+    Granularity = fixed chunk_tokens-token windows (the repo's chunk
+    unit). Corpus-first = smallest (doc_id, chunk_idx) per fingerprint —
+    content-deterministic, so output is identical at any parallelism.
+    Shape: tokenize+chunk (pure map) → one shuffle hash-partitioned by
+    chunk fingerprint (window rank 1 keeps the first occurrence) → one
+    shuffle back to doc_id for position-sorted reassembly. No joins on
+    the heavy side.
+
+    Returns (doc_id, text_deduped, n_chunks, n_dropped); a document
+    whose every chunk is someone else's boilerplate comes back with
+    empty text and n_dropped = n_chunks (drop-decision left to the
+    caller — never silent)."""
+    from ..functions.arrays import chunk_array
+
+    toks = doc_tokens(F.col("text"))
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                chunk_array(toks, chunk_tokens), lambda c: F.array_join(c, " ")
+            )
+        ).alias("chunk_idx", "chunk_text"),
+    ).withColumn("fp", char_poly_hash_col(F.col("chunk_text")))
+    w = Window.partitionBy("fp").orderBy("doc_id", "chunk_idx")
+    ranked = chunks.withColumn("__rn", F.row_number().over(w))
+    per_doc = ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum((F.col("__rn") > 1).cast("long")).alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__rn") == 1,
+                            F.struct(F.col("chunk_idx"), F.col("chunk_text")),
+                        )
+                    )
+                ),
+                lambda s: s.getField("chunk_text"),
+            ),
+            " ",
+        ).alias("text_deduped"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+        )
+    )

@@ -163,3 +163,84 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     return top_k_per_group(
         scored, ["doc_id"], "score", k, descending=True, tie_break="term"
     )
+
+
+def lm_bigram_score(docs: DataFrame) -> DataFrame:
+    """Corpus-trained word-bigram LM quality score — the CCNet-style
+    LM-filter analog (score each document by how typical its word
+    transitions are; sort/filter the corpus on it). Model and scoring in
+    one job over the corpus:
+
+      c(w1,w2)  bigram counts           — explode + combinable agg
+      c(w1)     continuation denominator (= Σ_w2 c(w1,w2))
+      V         distinct continuation vocabulary
+      p(w2|w1)  = (c(w1,w2) + 1) / (c(w1) + V)   add-one smoothed
+
+    score = MEAN transition likelihood over the doc's ordered bigrams,
+    computed as a sequential fold over the position-sorted array.
+    Deliberately rational and log-free (the tfidf_top_terms rule):
+    count arithmetic + IEEE division + a sequential sum are
+    bit-reproducible across engines, while ln()'s last ulp is
+    libm-dependent; the ranking a filter needs is preserved. On a real
+    cluster swap the mean for avg log-prob — no oracle parity needed
+    there. Count tables are vocabulary-sized → broadcast joins; at
+    open-web scale cap to a top-K vocabulary with an OOV bucket.
+
+    Returns (doc_id, n_bigrams, score); documents with <2 tokens carry
+    n_bigrams=0 and score NULL (unscorable, not silently 0)."""
+    toks = doc_tokens(F.col("text"))
+    base = (
+        docs.select("doc_id", toks.alias("__t"))
+        # <2 tokens: no bigram (and sequence(1, 0) DESCENDS in Spark,
+        # which would index out of bounds) — restored by the left join
+        .filter(F.size("__t") >= 2)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(__t) - 1), "
+                    "i -> struct(__t[i-1] AS w1, __t[i] AS w2))"
+                )
+            ).alias("pos", "bg"),
+        )
+        .select(
+            "doc_id", "pos", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+        )
+    )
+    c12 = base.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = base.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = base.agg(F.count_distinct("w2").alias("__v"))
+    scored = (
+        base.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .withColumn(
+            "__p",
+            (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("__v")),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        (
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("__p")))
+                    ),
+                    lambda s: s.getField("__p"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.count(F.lit(1))
+        ).alias("score"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            "score",
+        )
+    )

@@ -3214,6 +3214,83 @@ FROM documents
 """
 
 
+def q_ts_lm_score(spark, sf_dir):
+    """Corpus-trained bigram-LM quality score (textstats.lm_bigram_score
+    — the CCNet-style LM filter): add-one-smoothed transition
+    likelihoods p(w2|w1) from corpus counts, mean over each document's
+    ordered bigrams via a sequential fold (rational and log-free — the
+    tfidf engine-parity rule). The oracle retrains the same counts and
+    replays the same ordered fold."""
+    return textstats.lm_bigram_score(t_par(spark, sf_dir, "documents"))
+
+
+SQL_TS_LM_SCORE = f"""
+WITH base AS (
+  SELECT doc_id, i - 2 AS pos, toks[i - 1] AS w1, toks[i] AS w2
+  FROM (SELECT doc_id, {TOKEN_SQL} AS toks FROM documents),
+       unnest(range(2, len(toks) + 1)) AS t(i)
+), c12 AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM base GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, COUNT(*) AS c1 FROM base GROUP BY 1
+), v AS (
+  SELECT COUNT(DISTINCT w2) AS v FROM base
+), p AS (
+  SELECT b.doc_id, b.pos,
+         CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + v.v) AS p
+  FROM base b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         list_reduce(list_prepend(0.0, list(p ORDER BY pos)), (x, y) -> x + y)
+           / COUNT(*) AS score
+  FROM p GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams, a.score
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_dd_chunk_dedup(spark, sf_dir):
+    """Within-corpus segment-level exact dedup (dedup.chunk_dedup —
+    RefinedWeb-style line dedup at the 10-token chunk unit): repeated
+    segments survive only at their corpus-first (doc_id, chunk_idx)
+    occurrence, texts reassembled. The oracle replays fingerprinting,
+    first-occurrence ranking, and ordered reassembly."""
+    from .operators import dedup as dd
+
+    return dd.chunk_dedup(t_par(spark, sf_dir, "documents"))
+
+
+SQL_DD_CHUNK_DEDUP = f"""
+WITH chunks AS (
+  SELECT doc_id, CAST(u[2] AS BIGINT) AS chunk_idx, u[1] AS chunk_text,
+         {char_poly_hash_sql("u[1]")} AS fp
+  FROM (
+    SELECT doc_id, unnest(list_zip(cs, range(0, len(cs)))) AS u
+    FROM (
+      SELECT doc_id,
+             list_transform(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)),
+               i -> array_to_string(toks[i*10+1 : i*10+10], ' ')) AS cs
+      FROM (SELECT doc_id, {TOKEN_SQL} AS toks FROM documents)))
+), ranked AS (
+  SELECT doc_id, chunk_idx, chunk_text,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_chunks,
+         SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dropped,
+         array_to_string(
+           list(CASE WHEN rn = 1 THEN chunk_text END ORDER BY chunk_idx)
+             FILTER (rn = 1), ' ') AS text_deduped
+  FROM ranked GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.text_deduped, '') AS text_deduped,
+       CAST(COALESCE(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(a.n_dropped, 0) AS BIGINT) AS n_dropped
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3247,6 +3324,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "eval_subscript": (q_eval_subscript, SQL_EVAL_SUBSCRIPT),
     "sim_ivf_probe_topk": (q_sim_ivf_probe_topk, SQL_SIM_IVF_PROBE_TOPK),
     "kg_jsonld": (q_kg_jsonld, SQL_KG_JSONLD),
+    "ts_lm_score": (q_ts_lm_score, SQL_TS_LM_SCORE),
+    "dd_chunk_dedup": (q_dd_chunk_dedup, SQL_DD_CHUNK_DEDUP),
     # --- tier 2: rotated out of the r3 window (last row r1/r2) ----------
     "dd_jaccard_capped": (q_dd_jaccard_capped, SQL_DD_JACCARD_CAPPED),
     "dd_jaccard_verify": (q_dd_jaccard_verify, SQL_DD_JACCARD_VERIFY),

@@ -491,3 +491,44 @@ def test_ivf_probe_topk_recall_monotone(spark):
         for r in similarity.cosine_topk(emb, queries, k=k).collect()
     }
     assert full == bf
+
+
+def test_chunk_dedup_removes_boilerplate(spark):
+    """Segment dedup keeps only the corpus-first occurrence of a
+    repeated chunk: the shared 10-token header survives in doc 0 and is
+    stripped from docs 1/2; unique tails survive everywhere; a document
+    that is ALL boilerplate comes back empty with full drop accounting."""
+    header = " ".join(f"h{i}" for i in range(10))
+    rows = [
+        (0, header + " " + " ".join(f"a{i}" for i in range(10))),
+        (1, header + " " + " ".join(f"b{i}" for i in range(10))),
+        (2, header),  # pure boilerplate
+        (3, " ".join(f"c{i}" for i in range(10))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.chunk_dedup(docs).collect()}
+    assert out[0]["text_deduped"] == rows[0][1] and out[0]["n_dropped"] == 0
+    assert out[1]["text_deduped"] == " ".join(f"b{i}" for i in range(10))
+    assert out[1]["n_dropped"] == 1 and out[1]["n_chunks"] == 2
+    assert out[2]["text_deduped"] == "" and out[2]["n_dropped"] == 1
+    assert out[3]["text_deduped"] == rows[3][1]
+
+
+def test_lm_bigram_score_closed_form(spark):
+    """Hand-computed add-one bigram model on a 2-doc corpus: doc 0 =
+    'x x x' (transitions x->x twice), doc 1 = 'x y' (x->y once).
+    c(x,x)=2, c(x,y)=1, c1(x)=3, V=|{x,y}|=2 ->
+    p(x|x)=(2+1)/(3+2)=0.6, p(y|x)=(1+1)/5=0.4.
+    doc0 score = (0.6+0.6)/2 = 0.6; doc1 = 0.4; a 1-token doc is
+    unscorable (n_bigrams=0, NULL score), never silently 0."""
+    from cpg_spark.operators.textstats import lm_bigram_score
+
+    docs = spark.createDataFrame(
+        [(0, "x x x"), (1, "x y"), (2, "solo")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in lm_bigram_score(docs).collect()}
+    # note: 'solo' contributes no bigrams; vocab of continuations
+    # stays {x, y}
+    assert abs(out[0]["score"] - 0.6) < 1e-12 and out[0]["n_bigrams"] == 2
+    assert abs(out[1]["score"] - 0.4) < 1e-12 and out[1]["n_bigrams"] == 1
+    assert out[2]["n_bigrams"] == 0 and out[2]["score"] is None

@@ -75,6 +75,7 @@ def test_registry_window_schedule():
         "sim_pq_topk", "sim_pq_recall", "sim_pq_trained_recall",
         "eog_borders", "eog_dfa_branched", "eval_loop_unroll",
         "eval_subscript", "sim_ivf_probe_topk", "kg_jsonld",
+        "ts_lm_score", "dd_chunk_dedup",
     }
     assert never_checked <= window, never_checked - window
     thrice_checked = {
