@@ -57,6 +57,10 @@ HEADLINE = [
     "eog_dfa_branched",
     "eval_loop_unroll",
     "kg_jsonld",
+    # curation additions: segment-level boilerplate dedup and the
+    # corpus-trained bigram-LM quality filter
+    "dd_chunk_dedup",
+    "ts_lm_score",
 ]
 
 
