@@ -291,7 +291,7 @@ def bfs_reach_grouped(
     components keyed by a group column (one graph per document/function
     — the dominant shape at 10^12-document scale). The global frontier
     loop pays one driver round-trip per hop, so its wall-clock grows
-    with the DIAMETER of the largest graph; this cogrouped pandas
+    with the DIAMETER of the largest graph; this grouped-map pandas
     variant solves every group's walk locally in one shuffle — hop
     count bounded per group, millions of groups in parallel, zero
     driver iterations. Same unreachable-edge consumption contract.
