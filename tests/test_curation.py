@@ -113,6 +113,7 @@ def test_curation_pipeline_stages_and_resume(spark, docs_df, tmp_path):
         near_dup_jaccard=0.99,
     )
     p3.run(docs_df, input_token="t1", stop_after="gate")
-    # gate fingerprint includes params -> near_dup change reruns nothing
-    # before the gate? the param token covers ALL stages, so gate reruns
+    # the param token is part of EVERY stage fingerprint, so even the
+    # gate recomputes under changed params instead of serving a
+    # snapshot built for different settings
     assert p3.ran == ["gate"]
