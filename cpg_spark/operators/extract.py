@@ -66,40 +66,90 @@ def jsonld_triples(pages: DataFrame, id_col: str = "url") -> DataFrame:
     programming language).
 
     Per page: regexp-extract every <script type="application/ld+json">
-    body (one codegen pass), posexplode, parse each block with
-    from_json into map<string,string> — numbers stringify, NESTED
-    values carry their raw JSON text (kept verbatim in `obj` so no
-    structure is lost), malformed blocks parse to NULL and are dropped
-    (skip-don't-fail, TranslationManager.kt:347-351). Subject =
-    @id, else the block's name, else url#block_idx (deterministic
-    blank-node id); '@id'/'@context' are structural and emit no triple,
-    '@type' does (the rdf:type assertion). Pure map — no shuffle, no
-    Python. Returns (<id_col>, block_idx, subj, pred, obj)."""
+    body (one codegen pass), posexplode, then unwrap each block into
+    its entity MEMBERS — all three shapes JSON-LD ships in the wild:
+
+      {...}                       one member (sub_idx 0)
+      [{...}, {...}]              top-level array — one member each
+      {"@context":…,"@graph":[…]} the wrapper Google's structured-data
+                                  docs recommend — the @graph members
+                                  (a scalar @graph counts as one)
+
+    Each member parses with from_json into map<string,string> —
+    numbers stringify, NESTED values carry their raw JSON text (kept
+    verbatim in `obj` so no structure is lost). A member that is not a
+    JSON object (malformed block, scalar array element) emits ONE
+    problem triple (pred '@error', obj = the raw text) instead of
+    silently vanishing — the reference frontends' emit-don't-drop
+    contract (Handler.java problem-node fallback; skip-don't-fail is
+    reserved for rows that never matched the grammar at all,
+    TranslationManager.kt:347-351). Subject = @id, else the member's
+    name, else url#block_idx (url#block_idx.sub_idx past the first
+    member) — deterministic blank-node ids; '@id'/'@context'/'@graph'
+    are structural and emit no triple, '@type' does (the rdf:type
+    assertion). Pure map — no shuffle, no Python.
+    Returns (<id_col>, block_idx, sub_idx, subj, pred, obj)."""
     blocks = pages.select(
         id_col,
         F.posexplode(jsonld_blocks_col(F.col("html"))).alias(
             "block_idx", "__block"
         ),
     )
-    parsed = blocks.select(
+    b = F.trim(F.col("__block"))
+    # from_json(array<string>) wraps a bare object into a 1-array, so
+    # array-ness is decided on the raw text, not on parse nullability
+    obj = F.from_json(b, "map<string,string>")
+    graph_raw = F.element_at(obj, "@graph")
+    members = (
+        F.when(b.startswith("["), F.from_json(b, "array<string>"))
+        .when(
+            graph_raw.isNotNull(),
+            F.when(
+                F.trim(graph_raw).startswith("["),
+                F.from_json(graph_raw, "array<string>"),
+            ).otherwise(F.array(graph_raw)),
+        )
+        .otherwise(F.array(F.col("__block")))
+    )
+    # posexplode_outer: an unparseable top-level array keeps its row
+    # (NULL member) so the problem branch below still sees the block
+    mem = blocks.select(
         id_col,
         "block_idx",
-        F.from_json("__block", "map<string,string>").alias("__m"),
-    ).filter(F.col("__m").isNotNull())
+        "__block",
+        F.posexplode_outer(members).alias("sub_idx", "__member"),
+    ).withColumn("__m", F.from_json("__member", "map<string,string>"))
     subj = F.coalesce(
         F.element_at("__m", "@id"),
         F.element_at("__m", "name"),
-        F.concat(F.col(id_col), F.lit("#"), F.col("block_idx")),
+        F.when(
+            F.col("sub_idx") > 0,
+            F.concat(
+                F.col(id_col), F.lit("#"), F.col("block_idx"),
+                F.lit("."), F.col("sub_idx"),
+            ),
+        ).otherwise(F.concat(F.col(id_col), F.lit("#"), F.col("block_idx"))),
     )
-    return (
-        parsed.select(
+    good = (
+        mem.filter(F.col("__m").isNotNull())
+        .select(
             id_col,
             "block_idx",
+            "sub_idx",
             subj.alias("subj"),
             F.explode("__m").alias("pred", "obj"),
         )
-        .filter(~F.col("pred").isin("@id", "@context"))
+        .filter(~F.col("pred").isin("@id", "@context", "@graph"))
     )
+    bad = mem.filter(F.col("__m").isNull()).select(
+        id_col,
+        "block_idx",
+        F.coalesce("sub_idx", F.lit(0)).alias("sub_idx"),
+        F.concat(F.col(id_col), F.lit("#"), F.col("block_idx")).alias("subj"),
+        F.lit("@error").alias("pred"),
+        F.coalesce(F.col("__member"), F.col("__block")).alias("obj"),
+    )
+    return good.unionByName(bad)
 
 
 def sentence_order_edges(sent_df: DataFrame) -> DataFrame:

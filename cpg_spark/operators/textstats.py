@@ -165,7 +165,10 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
-def lm_bigram_score(docs: DataFrame) -> DataFrame:
+OOV_TOKEN = "<unk>"  # outside DOC_TOKEN_RE's alphabet — can't collide
+
+
+def lm_bigram_score(docs: DataFrame, max_vocab: int | None = None) -> DataFrame:
     """Corpus-trained word-bigram LM quality score — the CCNet-style
     LM-filter analog (score each document by how typical its word
     transitions are; sort/filter the corpus on it). Model and scoring in
@@ -183,8 +186,17 @@ def lm_bigram_score(docs: DataFrame) -> DataFrame:
     bit-reproducible across engines, while ln()'s last ulp is
     libm-dependent; the ranking a filter needs is preserved. On a real
     cluster swap the mean for avg log-prob — no oracle parity needed
-    there. Count tables are vocabulary-sized → broadcast joins; at
-    open-web scale cap to a top-K vocabulary with an OOV bucket.
+    there.
+
+    Scale contract (the CCNet recipe): with `max_vocab` set, tokens
+    outside the top-`max_vocab` by corpus occurrence count (ties to the
+    lexicographically smaller token) fold into one OOV_TOKEN bucket
+    BEFORE bigram construction, so the vocab map and the c(w1) table
+    are provably ≤ max_vocab+1 rows — those two joins broadcast.
+    c(w1,w2) is O(vocab²) worst-case and is NEVER broadcast-hinted at
+    any setting: it shuffle-joins on (w1,w2), and AQE may still elect a
+    broadcast when the observed table is small. With max_vocab=None
+    (oracle-parity mode, small corpora) no table gets a forced hint.
 
     Returns (doc_id, n_bigrams, score); documents with <2 tokens carry
     n_bigrams=0 and score NULL (unscorable, not silently 0)."""
@@ -207,12 +219,36 @@ def lm_bigram_score(docs: DataFrame) -> DataFrame:
             "doc_id", "pos", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
         )
     )
+    if max_vocab is not None:
+        uni = (
+            docs.select(F.explode(toks).alias("__tok"))
+            .groupBy("__tok")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        # TakeOrderedAndProject over the vocab-sized count table —
+        # deterministic (count desc, token asc), driver-small result
+        vocab = (
+            uni.orderBy(F.desc("__c"), F.asc("__tok"))
+            .limit(max_vocab)
+            .select("__tok", F.lit(True).alias("__in"))
+        )
+        for col in ("w1", "w2"):
+            base = (
+                base.join(
+                    F.broadcast(vocab.withColumnRenamed("__tok", col)), col, "left"
+                )
+                .withColumn(
+                    col, F.when(F.col("__in"), F.col(col)).otherwise(F.lit(OOV_TOKEN))
+                )
+                .drop("__in")
+            )
     c12 = base.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = base.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     v = base.agg(F.count_distinct("w2").alias("__v"))
+    c1_side = F.broadcast(c1) if max_vocab is not None else c1
     scored = (
-        base.join(F.broadcast(c12), ["w1", "w2"])
-        .join(F.broadcast(c1), "w1")
+        base.join(c12, ["w1", "w2"])
+        .join(c1_side, "w1")
         .crossJoin(F.broadcast(v))
         .withColumn(
             "__p",

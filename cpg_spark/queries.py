@@ -1461,6 +1461,78 @@ WHERE pred NOT IN ('@id', '@context')
 """
 
 
+def q_kg_jsonld_graph(spark, sf_dir):
+    """JSON-LD @graph-wrapper and array-root unwrapping
+    (extract.jsonld_triples member unwrap): the two block shapes
+    Google's structured-data docs actually recommend — a
+    {"@context":…,"@graph":[…]} wrapper and a bare top-level array —
+    each explode into per-member subjects with stable (block_idx,
+    sub_idx); a member with neither @id nor name gets the dotted
+    blank-node id. The oracle KNOWS the members (both engines build the
+    same bytes) and checks that the Spark-side unwrap recovers exactly
+    them — the parse path is what's under test."""
+    from .operators import extract
+
+    docs = t_par(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    wrapper = F.concat(
+        F.lit('{"@context":"https://schema.org","@graph":['
+              '{"@id":"doc:'), d,
+        F.lit('","@type":"Article","name":"Document '), d,
+        F.lit('","inLanguage":"'), F.col("lang"),
+        F.lit('"},{"@type":"Organization","name":"'), F.col("source"),
+        F.lit('"}]}'),
+    )
+    arr = F.concat(
+        F.lit('[{"@type":"Dataset","name":"ds '), d,
+        F.lit('"},{"@type":"Thing","nchars":"'), F.col("n_chars").cast("string"),
+        F.lit('"}]'),
+    )
+    html = F.concat(
+        F.lit('<html><head><script type="application/ld+json">'), wrapper,
+        F.lit('</script><script type="application/ld+json">'), arr,
+        F.lit("</script></head><body></body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("doc:"), d).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    out = extract.jsonld_triples(pages)
+    return out.select(
+        "url",
+        F.col("block_idx").cast("int").alias("block_idx"),
+        F.col("sub_idx").cast("int").alias("sub_idx"),
+        "subj", "pred", "obj",
+    )
+
+
+SQL_KG_JSONLD_GRAPH = """
+WITH members AS (
+  SELECT 'doc:' || doc_id AS url, b.block_idx, b.sub_idx, b.member
+  FROM documents, LATERAL (VALUES
+    (0, 0, '{"@id":"doc:' || doc_id || '","@type":"Article","name":"Document '
+           || doc_id || '","inLanguage":"' || lang || '"}'),
+    (0, 1, '{"@type":"Organization","name":"' || source || '"}'),
+    (1, 0, '{"@type":"Dataset","name":"ds ' || doc_id || '"}'),
+    (1, 1, '{"@type":"Thing","nchars":"' || n_chars || '"}')
+  ) AS b(block_idx, sub_idx, member)
+), kv AS (
+  SELECT url, block_idx, sub_idx, member, k AS pred,
+         json_extract_string(member, '$."' || k || '"') AS obj
+  FROM members, unnest(json_keys(member)) AS t(k)
+)
+SELECT url, CAST(block_idx AS INT) AS block_idx,
+       CAST(sub_idx AS INT) AS sub_idx,
+       COALESCE(json_extract_string(member, '$."@id"'),
+                json_extract_string(member, '$."name"'),
+                url || '#' || block_idx ||
+                  CASE WHEN sub_idx > 0 THEN '.' || sub_idx ELSE '' END) AS subj,
+       pred, obj
+FROM kv
+WHERE pred NOT IN ('@id', '@context', '@graph')
+"""
+
+
 def q_link_scope_chain(spark, sf_dir):
     """Scope-chain resolution (reference ScopeManager.kt:625-653 walks
     parent scopes; innermost declaration wins). Planted tree per 50-key
@@ -3326,6 +3398,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kg_jsonld": (q_kg_jsonld, SQL_KG_JSONLD),
     "ts_lm_score": (q_ts_lm_score, SQL_TS_LM_SCORE),
     "dd_chunk_dedup": (q_dd_chunk_dedup, SQL_DD_CHUNK_DEDUP),
+    "kg_jsonld_graph": (q_kg_jsonld_graph, SQL_KG_JSONLD_GRAPH),
     # --- tier 2: rotated out of the r3 window (last row r1/r2) ----------
     "dd_jaccard_capped": (q_dd_jaccard_capped, SQL_DD_JACCARD_CAPPED),
     "dd_jaccard_verify": (q_dd_jaccard_verify, SQL_DD_JACCARD_VERIFY),

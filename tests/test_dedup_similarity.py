@@ -532,3 +532,25 @@ def test_lm_bigram_score_closed_form(spark):
     assert abs(out[0]["score"] - 0.6) < 1e-12 and out[0]["n_bigrams"] == 2
     assert abs(out[1]["score"] - 0.4) < 1e-12 and out[1]["n_bigrams"] == 1
     assert out[2]["n_bigrams"] == 0 and out[2]["score"] is None
+
+
+def test_lm_bigram_score_vocab_cap_oov(spark):
+    """max_vocab exercises the OOV bucket: corpus vocab {a:5, b:1, y:1,
+    z:1} > cap 2 -> vocab = {a, b} (count desc, token asc breaks the
+    b/y/z tie), y and z fold to <unk> BEFORE bigram construction.
+    Hand-computed capped model: doc0 'a a a a' -> (a,a)x3; doc1
+    'a y b z' -> (a,<unk>),(<unk>,b),(b,<unk>); c1(a)=4, c1(<unk>)=1,
+    c1(b)=1, V=|{a,<unk>,b}|=3 -> p(a|a)=4/7, p(<unk>|a)=2/7,
+    p(b|<unk>)=p(<unk>|b)=1/2; doc0=4/7, doc1=(2/7+1)/3=3/7. The
+    uncapped model scores doc0 1/2 (V=4), so the cap must change it."""
+    from cpg_spark.operators.textstats import lm_bigram_score
+
+    docs = spark.createDataFrame(
+        [(0, "a a a a"), (1, "a y b z")], "doc_id long, text string"
+    )
+    capped = {r["doc_id"]: r for r in lm_bigram_score(docs, max_vocab=2).collect()}
+    assert abs(capped[0]["score"] - 4 / 7) < 1e-12
+    assert abs(capped[1]["score"] - 3 / 7) < 1e-12
+    full = {r["doc_id"]: r for r in lm_bigram_score(docs).collect()}
+    assert abs(full[0]["score"] - 1 / 2) < 1e-12
+    assert full[0]["score"] != capped[0]["score"]

@@ -240,10 +240,49 @@ def test_jsonld_triples_edge_cases(spark):
     assert rows[(0, "name")] == ("e:1", "Ada")
     assert rows[(0, "address")] == ("e:1", '{"city":"London"}')
     assert (0, "@id") not in rows and (0, "@context") not in rows
-    # block 1 malformed: no rows at any pred
-    assert not any(bi == 1 for bi, _ in rows)
+    # block 1 malformed: ONE problem triple, never a silent drop
+    assert rows[(1, "@error")] == ("u1#1", "not json at all")
+    assert [p for bi, p in rows if bi == 1] == ["@error"]
     # block 2: no @id/name -> url#idx blank node
     assert rows[(2, "@type")] == ("u1#2", "Thing")
     assert rows[(2, "k")] == ("u1#2", "v")
     # the fake script type never matched
     assert not any(r[1] == "x" for r in rows)
+
+
+def test_jsonld_graph_and_array_roots(spark):
+    """@graph wrappers and top-level arrays — valid JSON-LD the flat
+    parser used to drop silently — unwrap into per-member subjects with
+    stable sub-block indices; @graph/@context stay structural; a scalar
+    array element becomes a problem triple, not a crash or a drop."""
+    from cpg_spark.operators.extract import jsonld_triples
+
+    html = (
+        '<html><head>'
+        '<script type="application/ld+json">'
+        '{"@context":"https://schema.org","@graph":['
+        '{"@id":"e:a","@type":"Person","name":"Ada"},'
+        '{"@type":"Place","name":"London"}]}</script>'
+        '<script type="application/ld+json">'
+        '[{"@type":"Book","name":"SICP"},"stray scalar",'
+        '{"@type":"Thing"}]</script>'
+        '<script type="application/ld+json">'
+        '{"@graph":{"@type":"Event","name":"Expo"}}</script>'
+        "</head><body></body></html>"
+    ).encode()
+    pages = spark.createDataFrame([("u1", html)], "url string, html binary")
+    rows = {
+        (r["block_idx"], r["sub_idx"], r["pred"]): (r["subj"], r["obj"])
+        for r in jsonld_triples(pages).collect()
+    }
+    # block 0: @graph wrapper -> two members, @id then name-keyed
+    assert rows[(0, 0, "@type")] == ("e:a", "Person")
+    assert rows[(0, 1, "@type")] == ("London", "Place")
+    assert not any(p in ("@graph", "@context") for _, _, p in rows)
+    # block 1: top-level array; member 1 is a scalar -> problem triple;
+    # member 2 has no @id/name -> dotted blank-node id
+    assert rows[(1, 0, "name")] == ("SICP", "SICP")
+    assert rows[(1, 1, "@error")] == ("u1#1", "stray scalar")
+    assert rows[(1, 2, "@type")] == ("u1#1.2", "Thing")
+    # block 2: scalar @graph counts as one member
+    assert rows[(2, 0, "@type")] == ("Expo", "Event")
