@@ -249,13 +249,17 @@ def evaluate_expression_sets(
             F.flatten(
                 F.collect_list(F.when(F.col("pos") >= 1, F.col("vals")))
             ).alias("__branches"),
-            # pos -> value-set map for positional element access
-            # (subscript); collect_list drops the null entries of
-            # pos-less edges, so no null map keys
-            F.map_from_entries(
+            # element-position lookup table for subscript: SORTED struct
+            # array restricted to pos>=1 (pos 0 is the index edge, so a
+            # negative folded index can never splice the index's own
+            # value set back in — out-of-bounds stays cannotEvaluate),
+            # first-match lookup below; an array tolerates duplicate pos
+            # (malformed input) where map_from_entries would throw
+            # DUPLICATED_MAP_KEY and fail the whole job on one node
+            F.array_sort(
                 F.collect_list(
                     F.when(
-                        F.col("pos").isNotNull(),
+                        F.col("pos") >= 1,
                         F.struct(F.col("pos"), F.col("vals")),
                     )
                 )
@@ -299,7 +303,8 @@ def evaluate_expression_sets(
             # handleArraySubscriptionExpression, ValueEvaluator.kt:299;
             # MultiValueEvaluator explores every index in the set):
             # pos 0 = the index, pos 1..n = the array elements in
-            # order; out-of-bounds indices are cannotEvaluate (dropped)
+            # order; out-of-bounds indices — negative included — are
+            # cannotEvaluate (dropped); first match = min per pos
             .when(
                 F.col("op") == "subscript",
                 F.flatten(
@@ -307,8 +312,13 @@ def evaluate_expression_sets(
                         F.transform(
                             F.col("__a"),
                             lambda i: F.try_element_at(
-                                F.col("__bypos"), i.cast("int") + 1
-                            ),
+                                F.filter(
+                                    F.col("__bypos"),
+                                    lambda s: s.getField("pos")
+                                    == i.cast("int") + 1,
+                                ),
+                                F.lit(1),
+                            ).getField("vals"),
                         ),
                         lambda arr: arr.isNotNull(),
                     )
@@ -394,11 +404,15 @@ def evaluate_expressions(
                 F.min(F.when(F.col("pos") == 0, F.col("value"))).alias("__a"),
                 F.min(F.when(F.col("pos") == 1, F.col("value"))).alias("__b"),
                 F.min(F.when(F.col("pos") == 2, F.col("value"))).alias("__c"),
-                # pos -> value map for positional element access
-                F.map_from_entries(
+                # element-position lookup for subscript: pos>=1 only
+                # (pos 0 is the index edge — keeps negative indices
+                # out-of-bounds), sorted array instead of a map so a
+                # duplicate pos degrades to min-per-pos instead of a
+                # DUPLICATED_MAP_KEY job failure
+                F.array_sort(
                     F.collect_list(
                         F.when(
-                            F.col("pos").isNotNull(),
+                            F.col("pos") >= 1,
                             F.struct(F.col("pos"), F.col("value")),
                         )
                     )
@@ -433,11 +447,17 @@ def evaluate_expressions(
                 # arr[idx]: pos 0 = the index, pos 1..n = the elements
                 # in order (reference handleArraySubscriptionExpression,
                 # ValueEvaluator.kt:299 — an ArrayCreation initializer
-                # list indexed by a folded constant); out-of-bounds ->
-                # NULL -> cannotEvaluate
+                # list indexed by a folded constant); out-of-bounds —
+                # negative included -> NULL -> cannotEvaluate
                 .when(
                     F.col("op") == "subscript",
-                    F.try_element_at(F.col("__bypos"), a.cast("int") + 1),
+                    F.try_element_at(
+                        F.filter(
+                            F.col("__bypos"),
+                            lambda s: s.getField("pos") == a.cast("int") + 1,
+                        ),
+                        F.lit(1),
+                    ).getField("value"),
                 )
                 .alias("value"),
             )

@@ -168,7 +168,14 @@ def ivf_assign(
     centroid set = the vectors with the given ids; in production the
     centroids come from a k-means fit and are broadcast the same way).
     Returns (vec_id, cell, score). The probe side of IVF is
-    bucketed_topk with `cell` as the bucket."""
+    bucketed_topk with `cell` as the bucket.
+
+    Scale shape: broadcast centroid join, then a COMBINABLE argmax —
+    max(struct(score, -cell)) per vec_id (ties to the lower cell; the
+    score never passes through a negation, so its bits are untouched).
+    The partial agg collapses the k-fanned join output map-side before
+    the single shuffle by vec_id — a row_number window would shuffle
+    and sort all k candidate rows per vector instead."""
     cents = emb.filter(F.col(id_col).isin(centroid_ids)).select(
         F.col(id_col).alias("cell"), F.col("embedding").alias("c_emb")
     )
@@ -177,11 +184,15 @@ def ivf_assign(
         _dot(F.col("c_emb"), F.col("embedding"))
         / (_norm(F.col("c_emb")) * _norm(F.col("embedding"))),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("score_raw"), F.asc("cell"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "cell", F.col("score_raw").alias("score"))
+    best = F.max(
+        F.struct(
+            F.col("score_raw").alias("score"), (-F.col("cell")).alias("__nc")
+        )
+    ).alias("__b")
+    return scored.groupBy(id_col).agg(best).select(
+        id_col,
+        (-F.col("__b.__nc")).alias("cell"),
+        F.col("__b.score").alias("score"),
     )
 
 
@@ -199,12 +210,15 @@ def ivf_probe_topk(
     boundary (the IVF-ADC search loop of Jégou et al.; nprobe=1 is the
     plain probe, nprobe=#cells degenerates to brute force).
 
-    Scale shape: corpus vectors are assigned to ONE cell each (broadcast
-    centroid join + combinable argmin — the ivf_assign plan, embedding
-    retained); the query side emits (q_id, cell) rows for its nprobe
-    best cells and is BROADCAST into the corpus — the big side never
-    shuffles, and the probe join fans each corpus row out only to the
-    queries probing its cell. One window for the per-query top-k.
+    Scale shape: corpus vectors are assigned to ONE cell each —
+    broadcast centroid join, then a COMBINABLE argmax
+    (max(struct(score, -cell, embedding)) per vec_id, the ivf_assign
+    aggregation with the embedding carried through the struct) that
+    collapses the k-fanned join output map-side before its one shuffle
+    by vec_id; the query side emits (q_id, cell) rows for its nprobe
+    best cells and is BROADCAST into the corpus, so the probe join adds
+    no corpus shuffle and fans each corpus row out only to the queries
+    probing its cell. One window for the per-query top-k.
     Returns (q_id, rank, neighbor_id, score), ties to the lower id."""
     cents = emb.filter(F.col(id_col).isin(centroid_ids)).select(
         F.col(id_col).alias("cell"), F.col("embedding").alias("c_emb")
@@ -213,11 +227,19 @@ def ivf_probe_topk(
     scored_cells = emb.join(F.broadcast(cents)).withColumn(
         "cell_score", cos(F.col("c_emb"), F.col("embedding"))
     )
-    wa = Window.partitionBy(id_col).orderBy(F.desc("cell_score"), F.asc("cell"))
-    corpus = (
-        scored_cells.withColumn("__rn", F.row_number().over(wa))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, "embedding", "cell")
+    # (cell_score, -cell) max = best score, ties to the lower cell;
+    # embedding rides along (never reached: (score, cell) is unique)
+    best = F.max(
+        F.struct(
+            F.col("cell_score").alias("__s"),
+            (-F.col("cell")).alias("__nc"),
+            F.col("embedding").alias("embedding"),
+        )
+    ).alias("__b")
+    corpus = scored_cells.groupBy(id_col).agg(best).select(
+        id_col,
+        F.col("__b.embedding").alias("embedding"),
+        (-F.col("__b.__nc")).alias("cell"),
     )
     q = emb.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("q_id"), F.col("embedding").alias("q_emb")

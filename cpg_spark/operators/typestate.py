@@ -137,6 +137,19 @@ def dfa_evaluate_branched(
     the path so the verdict names the full witness); otherwise ok =
     final state ∈ accept_states.
 
+    Never silent (two hardening rules on top of the capped-witness
+    pattern): a strongly-cyclic group — a `while` back-edge region with
+    NO entry node, which the reference's worklist enters from the
+    function head — is walked from its lexicographically-smallest node
+    as a synthetic entry, every emitted row flagged truncated (the
+    entry choice is an under-approximation); and a group that still
+    produces zero verdicts (pure cycle with no terminal, or every path
+    depth-capped) emits ONE diagnostic row (path NULL, n_nodes 0,
+    truncated true) so the caller sees the group was skipped rather
+    than inferring emptiness. An edge endpoint with no nodes row is
+    skipped, not KeyError'd (skip-don't-fail,
+    TranslationManager.kt:347-351), and flags the group truncated.
+
     Spark shape: per-object EOGs are SMALL PRIVATE DAGs (the
     bfs_reach_grouped argument — the reference walks them sequentially
     per object for the same reason), so the enumeration runs inside one
@@ -201,6 +214,11 @@ def dfa_evaluate_branched(
         entries = sorted(k for k in syms if k not in has_in)
         rows = []
         truncated = False
+        if not entries and syms:
+            # all-cycle group: synthetic entry at the smallest node,
+            # results flagged truncated (see docstring)
+            entries = [min(syms)]
+            truncated = True
         # iterative DFS; each stack entry is a complete walk prefix
         stack = []
         for ent in reversed(entries):
@@ -212,6 +230,11 @@ def dfa_evaluate_branched(
         while stack:
             path, state, viol = stack.pop()
             succs = sorted(set(adj.get(path[-1], ())))
+            dangling = [s for s in succs if s not in syms]
+            if dangling:
+                # edge endpoint with no nodes row: skip it, flag the group
+                succs = [s for s in succs if s in syms]
+                truncated = True
             if not succs:
                 if len(rows) >= max_paths:
                     truncated = True
@@ -230,6 +253,20 @@ def dfa_evaluate_branched(
                         (path + [s], nx if nx is not None else state,
                          -1 if nx is not None else len(path))
                     )
+        if not rows and syms:
+            # zero verdicts for a non-empty group (pure cycle, or all
+            # paths depth-capped): one diagnostic row, never silence
+            return pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "path": [None],
+                    "n_nodes": [0],
+                    "final_state": [None],
+                    "ok": [False],
+                    "violation_idx": [-1],
+                    "truncated": [True],
+                }
+            )
         return pd.DataFrame(
             {
                 key_col: [key[0]] * len(rows),

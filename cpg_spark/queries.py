@@ -2907,6 +2907,54 @@ QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score_raw DESC, cell) = 
 """
 
 
+_EMB_DIM = 64
+_FITTED_K = 4
+
+# squared-L2 unrolled in DIMENSION ORDER — the same left-to-right
+# sequential sum _nearest_literal_centroid builds, so both engines add
+# the identical doubles in the identical order (cross-row float rule)
+_L2_SQL = " + ".join(
+    f"(e.emb[{d + 1}] - c.emb[{d + 1}]) * (e.emb[{d + 1}] - c.emb[{d + 1}])"
+    for d in range(_EMB_DIM)
+)
+
+
+def q_sim_ivf_fitted_assign(spark, sf_dir):
+    """IVF assignment against FITTED literal centroids
+    (similarity.ivf_assign_fitted — the pure-map probe-side partner of
+    kmeans_fit): centroids collect to the driver (k·dim doubles) and
+    re-enter as literal squared-L2 arithmetic, so the corpus pass is
+    shuffle-free. Here the 'fit' is the deterministic first-k vectors —
+    the literal path is what's under test; the oracle replays the same
+    argmin relationally."""
+    emb = t_par(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < _FITTED_K)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    out = similarity.ivf_assign_fitted(emb, cents, dim=_EMB_DIM)
+    return out.select("vec_id", F.col("cell").cast("int").alias("cell"))
+
+
+SQL_SIM_IVF_FITTED_ASSIGN = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), c AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, emb
+  FROM e WHERE vec_id < {_FITTED_K}
+), scored AS (
+  SELECT e.vec_id, c.cell, {_L2_SQL} AS d2
+  FROM e CROSS JOIN c
+)
+SELECT vec_id, cell FROM scored
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1
+"""
+
+
 def q_sim_ivf_probe_topk(spark, sf_dir):
     """Multi-probe IVF top-k (similarity.ivf_probe_topk, nprobe=2): each
     query searches its 2 nearest cells — the standard IVF recall lever;
@@ -3399,6 +3447,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ts_lm_score": (q_ts_lm_score, SQL_TS_LM_SCORE),
     "dd_chunk_dedup": (q_dd_chunk_dedup, SQL_DD_CHUNK_DEDUP),
     "kg_jsonld_graph": (q_kg_jsonld_graph, SQL_KG_JSONLD_GRAPH),
+    "sim_ivf_fitted_assign": (q_sim_ivf_fitted_assign, SQL_SIM_IVF_FITTED_ASSIGN),
     # --- tier 2: rotated out of the r3 window (last row r1/r2) ----------
     "dd_jaccard_capped": (q_dd_jaccard_capped, SQL_DD_JACCARD_CAPPED),
     "dd_jaccard_verify": (q_dd_jaccard_verify, SQL_DD_JACCARD_VERIFY),

@@ -364,3 +364,47 @@ def test_subscript_over_index_set(spark):
     }
     assert out[6] == [7.0, 8.0]
     assert out[8] == [8.0]  # idx 9 OOB dropped
+
+
+def test_subscript_negative_index_cannot_evaluate(spark):
+    """A folded NEGATIVE index is out-of-bounds (cannotEvaluate), never
+    the index edge's own value: idx=-1 used to hit the pos-0 lookup key
+    and return the index itself. Covers both evaluators; a duplicate
+    pos among the element edges (malformed input) degrades to the
+    min-value element instead of a DUPLICATED_MAP_KEY job failure."""
+    from cpg_spark.operators.evaluate import (
+        evaluate_expression_sets,
+        evaluate_expressions,
+    )
+
+    nodes = spark.createDataFrame(
+        [
+            (0, "lit", 7.0, None), (1, "lit", 8.0, None),
+            (2, "lit", -1.0, None),          # idx = -1
+            (3, "op", None, "subscript"),
+            (4, "lit", 0.0, None),
+            (5, "op", None, "subscript"),    # duplicate pos 1 below
+            (9, "lit", 3.0, None),
+        ],
+        "node_id long, kind string, value double, op string",
+    )
+    edges = spark.createDataFrame(
+        [
+            (2, 3, 0), (0, 3, 1), (1, 3, 2),
+            # node 5: arr[0] with TWO pos-1 edges (7.0 and 3.0)
+            (4, 5, 0), (0, 5, 1), (9, 5, 1),
+        ],
+        "child long, parent long, pos int",
+    )
+    scalar = {
+        r["node_id"]: r["value"]
+        for r in evaluate_expressions(nodes, edges).collect()
+    }
+    assert 3 not in scalar          # negative idx -> cannotEvaluate
+    assert scalar[5] == 3.0         # duplicate pos -> min element, no crash
+    sets = {
+        r["node_id"]: list(r["vals"])
+        for r in evaluate_expression_sets(nodes, edges).collect()
+    }
+    assert 3 not in sets
+    assert sets[5] == [3.0]

@@ -197,6 +197,60 @@ def test_dfa_branched_depth_cap_flags_truncation(spark):
     assert rows == [] or all(r["truncated"] for r in rows)
 
 
+def test_dfa_branched_cyclic_eog_never_silent(spark):
+    """Cyclic EOGs — the `while` back-edge shape the reference worklist
+    enters from the function head — must produce visible output:
+    a cycle with an exit edge walks from a synthetic smallest-node
+    entry (bounded unrolling, rows flagged truncated); a pure cycle
+    with no terminal emits one diagnostic row; a dangling edge endpoint
+    (no nodes row) is skipped with the group flagged, not KeyError'd."""
+    from cpg_spark.operators.typestate import dfa_evaluate_branched
+
+    nodes = spark.createDataFrame(
+        [
+            # w: while-shape — 0<->1 cycle with exit 1->2
+            ("w", 0, "o"), ("w", 1, "u"), ("w", 2, "c"),
+            # p: pure 2-cycle, no terminal anywhere
+            ("p", 0, "o"), ("p", 1, "u"),
+            # d: linear but edge 1->5 points at a node with no row
+            ("d", 0, "o"), ("d", 1, "u"),
+        ],
+        "k string, node long, symbol string",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("w", 0, 1), ("w", 1, 0), ("w", 1, 2),
+            ("p", 0, 1), ("p", 1, 0),
+            ("d", 0, 1), ("d", 1, 5),
+        ],
+        "k string, src long, dst long",
+    )
+    dfa = spark.createDataFrame(
+        [("S0", "o", "OPEN"), ("OPEN", "u", "OPEN"), ("OPEN", "c", "S0")],
+        "src_state string, symbol string, dst_state string",
+    )
+    out = dfa_evaluate_branched(
+        nodes, edges, dfa, "k", "S0", ("S0",), max_depth=6
+    ).collect()
+    by_k = {}
+    for r in out:
+        by_k.setdefault(r["k"], []).append(r)
+    # w: two unrollings terminate at the exit before the depth cap
+    w_paths = {r["path"] for r in by_k["w"]}
+    assert w_paths == {"0>1>2", "0>1>0>1>2"}
+    assert all(r["truncated"] for r in by_k["w"])
+    ok_first = next(r for r in by_k["w"] if r["path"] == "0>1>2")
+    assert ok_first["ok"] and ok_first["final_state"] == "S0"
+    # p: no verdict possible -> exactly one diagnostic row
+    assert len(by_k["p"]) == 1
+    diag = by_k["p"][0]
+    assert diag["path"] is None and diag["n_nodes"] == 0 and diag["truncated"]
+    assert not diag["ok"]
+    # d: the dangling successor is skipped; the walk ends at node 1
+    assert {r["path"] for r in by_k["d"]} == {"0>1"}
+    assert all(r["truncated"] for r in by_k["d"])
+
+
 def test_dfa_branched_randomized_differential(spark):
     """Randomized differential check: dfa_evaluate_branched vs an
     independent recursive enumerator over random forward-edge DAGs with
