@@ -353,6 +353,11 @@ def chunk_dedup(docs: DataFrame, chunk_tokens: int = 10) -> DataFrame:
     shuffle back to doc_id for position-sorted reassembly. No joins on
     the heavy side.
 
+    A duplicated passage that straddles a chunk boundary with DIFFERENT
+    alignment in two documents is invisible to this fixed grid —
+    anchor_chunk_dedup below closes that gap with content-defined
+    boundaries.
+
     Returns (doc_id, text_deduped, n_chunks, n_dropped); a document
     whose every chunk is someone else's boilerplate comes back with
     empty text and n_dropped = n_chunks (drop-decision left to the
@@ -367,9 +372,23 @@ def chunk_dedup(docs: DataFrame, chunk_tokens: int = 10) -> DataFrame:
                 chunk_array(toks, chunk_tokens), lambda c: F.array_join(c, " ")
             )
         ).alias("chunk_idx", "chunk_text"),
-    ).withColumn("fp", char_poly_hash_col(F.col("chunk_text")))
-    w = Window.partitionBy("fp").orderBy("doc_id", "chunk_idx")
-    ranked = chunks.withColumn("__rn", F.row_number().over(w))
+    )
+    return _rank_and_reassemble(chunks, docs)
+
+
+def _rank_and_reassemble(chunks: DataFrame, docs: DataFrame) -> DataFrame:
+    """Shared tail of the segment-dedup family: fingerprint chunks, keep
+    each fingerprint's corpus-first (doc_id, chunk_idx) occurrence,
+    reassemble surviving chunks position-sorted, restore empty docs.
+    One shuffle by fingerprint, one back by doc_id."""
+    ranked = chunks.withColumn(
+        "fp", char_poly_hash_col(F.col("chunk_text"))
+    ).withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("fp").orderBy("doc_id", "chunk_idx")
+        ),
+    )
     per_doc = ranked.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_chunks"),
         F.sum((F.col("__rn") > 1).cast("long")).alias("n_dropped"),
@@ -398,3 +417,42 @@ def chunk_dedup(docs: DataFrame, chunk_tokens: int = 10) -> DataFrame:
             F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
         )
     )
+
+
+def anchor_chunk_dedup(docs: DataFrame, anchor_mod: int = 8) -> DataFrame:
+    """Segment dedup with CONTENT-DEFINED boundaries — the
+    alignment-free variant of chunk_dedup (the CDC/winnowing idea
+    behind Lee et al.'s exact-substring dedup, without the suffix
+    array): a chunk starts at token 0 and at every token whose hash
+    ≡ 0 (mod anchor_mod), so boundaries travel WITH the content.
+    A passage pasted into two documents at different token offsets
+    produces identical interior chunks in both — the fixed 10-token
+    grid sees nothing, this catches everything between the passage's
+    first and last interior anchor (expected chunk length =
+    anchor_mod; the two edge fragments remain approximation loss).
+
+    Chunking is pure array arithmetic in the scan projection (anchor
+    positions → zip_with slices — no Python, no shuffle); then the
+    same one-shuffle-by-fingerprint corpus-first machinery as
+    chunk_dedup, same output schema and drop accounting."""
+    toks = doc_tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("__t")).filter(F.size("__t") > 0)
+    t = F.col("__t")
+    starts = F.filter(
+        F.sequence(F.lit(0), F.size(t) - 1),
+        lambda i: (i == 0)
+        | (char_poly_hash_col(F.element_at(t, i + 1)) % anchor_mod == 0),
+    )
+    ends = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(1))),
+        F.array(F.size(t)),
+    )
+    chunk_list = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.array_join(F.slice(t, s + 1, e - s), " "),
+    )
+    chunks = base.select(
+        "doc_id", F.posexplode(chunk_list).alias("chunk_idx", "chunk_text")
+    )
+    return _rank_and_reassemble(chunks, docs)

@@ -233,6 +233,40 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     return media.mapInPandas(frames, FRAME_SCHEMA)
 
 
+def payload_dedup(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Exact byte-level dedup over an opaque binary payload — the FIRST
+    pass of any multimodal curation run (identical images/audio recur
+    massively on the open web), and the one that needs no codec at all:
+    sha-256 over the raw bytes, corpus-first keeps the smallest id.
+
+    Scale shape: the hash is computed JVM-side in the scan projection,
+    and the payload bytes are dropped BEFORE the shuffle — only
+    (id, 32-byte digest) rows move. One shuffle by digest; min/count
+    are both re-aggregable, so a heavy-hitter digest (the blank-image
+    problem) stays safe under AQE skew handling or an explicit salted
+    pre-aggregation (operators/skew.py).
+
+    Returns (id_col, payload_sha256, canonical_id, is_duplicate,
+    n_copies); callers drop is_duplicate rows and keep the canonical —
+    the decision stays theirs (drop accounting, never silent)."""
+    from pyspark.sql import Window
+
+    h = media.select(
+        id_col, F.sha2(F.col(payload_col), 256).alias("payload_sha256")
+    )
+    w = Window.partitionBy("payload_sha256")
+    canonical = F.min(id_col).over(w)
+    return h.select(
+        id_col,
+        "payload_sha256",
+        canonical.alias("canonical_id"),
+        (F.col(id_col) != canonical).alias("is_duplicate"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_copies"),
+    )
+
+
 def docs_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as an opaque payload so the
     multimodal path is testable without binary fixtures."""

@@ -3284,6 +3284,39 @@ def q_sim_pq_trained_recall(spark, sf_dir):
     return seeded.join(trained, "q_id")
 
 
+def q_sim_pq_trained_cmp(spark, sf_dir):
+    """The trained-beats-seeded CLAIM as one checkable row: mean
+    recall@k over the query set for the seeded and the Lloyd's-trained
+    PQ codebook plus the `trained_ge_seeded` verdict — the quantity the
+    pytest golden asserts, surfaced in the driver record instead of
+    living only in row counts. Training is iterative (no SQL oracle),
+    but the row is DETERMINISTIC: fixed seeds/iterations, and the mean
+    is a sequential fold over the q_id-sorted recalls (the engine-
+    parity sum rule), so the driver's value hash is stable run to
+    run. Returns (n_queries, mean_recall_seeded, mean_recall_trained,
+    trained_ge_seeded)."""
+    both = q_sim_pq_trained_recall(spark, sf_dir)
+    ordered_mean = lambda c: (  # noqa: E731
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("q_id"), F.col(c)))),
+                lambda s: s.getField(c),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.count(F.lit(1))
+    )
+    return both.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        ordered_mean("recall_seeded").alias("mean_recall_seeded"),
+        ordered_mean("recall_trained").alias("mean_recall_trained"),
+        (
+            ordered_mean("recall_trained") >= ordered_mean("recall_seeded")
+        ).alias("trained_ge_seeded"),
+    )
+
+
 def q_eog_borders(spark, sf_dir):
     """SubgraphWalker.getEOGPathEdges analog (reference
     SubgraphWalker.java:193-231 computes a subgraph's entry/exit border):
@@ -3331,6 +3364,43 @@ SQL_MM_PAYLOAD_META = """
 SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
        sha256(text) AS payload_sha256
 FROM documents
+"""
+
+
+def q_mm_payload_dedup(spark, sf_dir):
+    """Exact byte-level dedup over opaque binary payloads
+    (multimodal.payload_dedup): sha-256 of the raw bytes, corpus-first
+    keeps the smallest media_id — the codec-free first pass of a
+    multimodal curation run. Fixture plants real duplicates: every
+    doc_id % 3 == 0 payload reappears under media_id + 10^7, so both
+    the duplicate and canonical paths are exercised; the oracle replays
+    the same construction and windowing."""
+    from .operators import multimodal as mm
+
+    docs = t_par(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    base = docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    copies = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("media_id"),
+        payload.alias("payload"),
+    )
+    return mm.payload_dedup(base.unionByName(copies))
+
+
+SQL_MM_PAYLOAD_DEDUP = """
+WITH media AS (
+  SELECT doc_id AS media_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 3 = 0
+), h AS (
+  SELECT media_id, sha256(text) AS payload_sha256 FROM media
+)
+SELECT media_id, payload_sha256,
+       MIN(media_id) OVER (PARTITION BY payload_sha256) AS canonical_id,
+       media_id <> MIN(media_id) OVER (PARTITION BY payload_sha256)
+         AS is_duplicate,
+       CAST(COUNT(*) OVER (PARTITION BY payload_sha256) AS BIGINT) AS n_copies
+FROM h
 """
 
 
@@ -3411,6 +3481,64 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+_ANCHOR_MOD = 8
+
+
+def q_dd_anchor_dedup(spark, sf_dir):
+    """Segment dedup with content-defined (anchor-hash) boundaries
+    (dedup.anchor_chunk_dedup): chunk starts travel with the content —
+    hash(token) ≡ 0 (mod 8) opens a chunk — so a passage duplicated at
+    DIFFERENT token offsets in two documents still fingerprints
+    identically chunk-for-chunk, the case chunk_dedup's fixed grid
+    cannot see. The oracle replays anchor selection, slicing,
+    corpus-first ranking, and ordered reassembly."""
+    from .operators import dedup as dd
+
+    return dd.anchor_chunk_dedup(
+        t_par(spark, sf_dir, "documents"), anchor_mod=_ANCHOR_MOD
+    )
+
+
+SQL_DD_ANCHOR_DEDUP = f"""
+WITH tk AS (
+  SELECT doc_id, {TOKEN_SQL} AS toks FROM documents
+), st AS (
+  SELECT doc_id, toks,
+         list_filter(range(0, len(toks)),
+           i -> i = 0 OR {char_poly_hash_sql('toks[i+1]')} % {_ANCHOR_MOD} = 0)
+           AS ss
+  FROM tk WHERE len(toks) > 0
+), cs AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ss) + 1),
+           j -> array_to_string(
+             toks[ss[j]+1 :
+                  CASE WHEN j < len(ss) THEN ss[j+1] ELSE len(toks) END],
+             ' ')) AS cl
+  FROM st
+), chunks AS (
+  SELECT doc_id, CAST(u[2] AS BIGINT) AS chunk_idx, u[1] AS chunk_text,
+         {char_poly_hash_sql('u[1]')} AS fp
+  FROM (SELECT doc_id, unnest(list_zip(cl, range(0, len(cl)))) AS u FROM cs)
+), ranked AS (
+  SELECT doc_id, chunk_idx, chunk_text,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_chunks,
+         SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dropped,
+         array_to_string(
+           list(CASE WHEN rn = 1 THEN chunk_text END ORDER BY chunk_idx)
+             FILTER (rn = 1), ' ') AS text_deduped
+  FROM ranked GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.text_deduped, '') AS text_deduped,
+       CAST(COALESCE(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(a.n_dropped, 0) AS BIGINT) AS n_dropped
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3418,20 +3546,32 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # checks the FIRST 50 entries, so entries are ordered by how much a
 # fresh driver row is worth (r3 verdict #1 — round 3's head-insertions
 # silently rotated 10 green queries out of the gate; this ordering is
-# now deliberate and documented):
-#   tier 1 — never driver-checked (r4 additions + the r3 tail spill);
-#   tier 2 — rotated out of the r3 window (last green row r1/r2);
-#   tier 3 — exactly one green row (r3 only), incl. everything whose
-#            implementation changed this round;
-#   tier 4 — two green rows (r2+r3);
-#   tier 5 — seven thrice-checked flagships kept in-window as canaries
-#            (pipeline stats, KG construction, the CC star loop, exact
-#            dedup, sessionization, co-occurrence).
-# The TAIL (entries 51+) holds only queries green in ALL of r1/r2/r3 —
-# every registry entry therefore has at least one green driver row.
+# deliberate and documented). ROUND-5 WINDOW (green-row counts below
+# are as of CORRECTNESS_r04):
+#   tier 1 (5)  — never driver-checked (round-5 additions);
+#   tier 2 (14) — exactly one green row (the r4-window class), several
+#                 also changed in r5 (evaluator/walker/LM/JSON-LD);
+#   tier 3 (6)  — implementation CHANGED in r5 regardless of row count
+#                 (IVF assignment rework, evaluator __bypos rework);
+#   tier 4 (12) — two green rows (r3+r4, or r2/r1+r4 for the four
+#                 entries absent from one early round);
+#   tier 5 (13) — stale rotation, last green row r3: the five flagship
+#                 canaries, six of the r1-r3 tail, and the two entries
+#                 still short of three green rows (brand_price_rank,
+#                 events_hourly — red in r1); the remaining 11 r1-r3
+#                 entries rotate in r6.
+# The TAIL (entries 51+) holds only queries with ≥3 green rows
+# (r1+r2+r4, r2+r3+r4, or all four) — every registry entry keeps at
+# least one green driver row on record.
 # New queries must be inserted at the END of tier 1, never mid-window.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # --- tier 1: never driver-checked -----------------------------------
+    # --- tier 1: never driver-checked (r5 additions) --------------------
+    "kg_jsonld_graph": (q_kg_jsonld_graph, SQL_KG_JSONLD_GRAPH),
+    "sim_ivf_fitted_assign": (q_sim_ivf_fitted_assign, SQL_SIM_IVF_FITTED_ASSIGN),
+    "mm_payload_dedup": (q_mm_payload_dedup, SQL_MM_PAYLOAD_DEDUP),
+    "dd_anchor_dedup": (q_dd_anchor_dedup, SQL_DD_ANCHOR_DEDUP),
+    "sim_pq_trained_cmp": (q_sim_pq_trained_cmp, None),
+    # --- tier 2: one green row (r4) -------------------------------------
     "dd_contamination": (q_dd_contamination, SQL_DD_CONTAMINATION),
     "sim_ann_recall": (q_sim_ann_recall, SQL_SIM_ANN_RECALL),
     "sim_pq_encode": (q_sim_pq_encode, SQL_SIM_PQ_ENCODE),
@@ -3446,32 +3586,64 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kg_jsonld": (q_kg_jsonld, SQL_KG_JSONLD),
     "ts_lm_score": (q_ts_lm_score, SQL_TS_LM_SCORE),
     "dd_chunk_dedup": (q_dd_chunk_dedup, SQL_DD_CHUNK_DEDUP),
-    "kg_jsonld_graph": (q_kg_jsonld_graph, SQL_KG_JSONLD_GRAPH),
-    "sim_ivf_fitted_assign": (q_sim_ivf_fitted_assign, SQL_SIM_IVF_FITTED_ASSIGN),
-    # --- tier 2: rotated out of the r3 window (last row r1/r2) ----------
+    # --- tier 3: implementation changed in r5 ---------------------------
+    "sim_ivf_assign": (q_sim_ivf_assign, SQL_SIM_IVF_ASSIGN),
+    "sim_ivf_kmeans": (q_sim_ivf_kmeans, None),
+    "eval_ops_full": (q_eval_ops_full, SQL_EVAL_OPS_FULL),
+    "eval_set_ops": (q_eval_set_ops, SQL_EVAL_SET_OPS),
+    "eval_const_fold": (q_eval_const_fold, SQL_EVAL_CONST_FOLD),
+    "eval_multi_sets": (q_eval_multi_sets, SQL_EVAL_MULTI_SETS),
+    # --- tier 4: two green rows ----------------------------------------
     "dd_jaccard_capped": (q_dd_jaccard_capped, SQL_DD_JACCARD_CAPPED),
     "dd_jaccard_verify": (q_dd_jaccard_verify, SQL_DD_JACCARD_VERIFY),
-    "dd_simhash": (q_dd_simhash, SQL_DD_SIMHASH),
-    "dd_embedding_neardup": (q_dd_embedding_neardup, SQL_DD_EMBEDDING_NEARDUP),
-    "salted_count": (q_salted_brand_count, SQL_SALTED_BRAND_COUNT),
-    "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
-    "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
-    "sim_ivf_assign": (q_sim_ivf_assign, SQL_SIM_IVF_ASSIGN),
     "sim_bucketed_topk": (q_sim_bucketed_topk, SQL_SIM_BUCKETED_TOPK),
-    "sim_ivf_kmeans": (q_sim_ivf_kmeans, None),
     "mm_payload_meta": (q_mm_payload_meta, SQL_MM_PAYLOAD_META),
-    # --- tier 3: one green row (r3), incl. r4-changed implementations ---
     "eog_corpus_reach": (q_eog_corpus_reach, SQL_EOG_CORPUS_REACH),
     "sa_ops_grammar": (q_sa_ops_grammar, SQL_SA_OPS_GRAMMAR),
     "sa_charset_cycle": (q_sa_charset_cycle, SQL_SA_CHARSET_CYCLE),
-    "eval_ops_full": (q_eval_ops_full, SQL_EVAL_OPS_FULL),
-    "eval_set_ops": (q_eval_set_ops, SQL_EVAL_SET_OPS),
     "events_order_dfa": (q_events_order_dfa, SQL_EVENTS_ORDER_DFA),
     "link_scope_inferred": (q_link_scope_inferred, SQL_LINK_SCOPE_INFERRED),
     "reach_bfs_paths": (q_reach_bfs_paths, SQL_REACH_BFS_PATHS),
     "ts_tfidf_topk": (q_ts_tfidf_topk, SQL_TS_TFIDF_TOPK),
     "ts_stratified_sample": (q_ts_stratified_sample, SQL_TS_STRATIFIED_SAMPLE),
-    # --- tier 4: two green rows (r2+r3) ---------------------------------
+    # --- tier 5: stale rotation (last green row r3) ---------------------
+    "kg_doc_mentions": (q_kg_doc_mentions, SQL_KG_DOC_MENTIONS),
+    "kg_doc_cooccur": (q_kg_doc_cooccur, SQL_KG_DOC_COOCCUR),
+    "dd_exact": (q_dd_exact, SQL_DD_EXACT),
+    "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
+    "cooccur_parts": (q_cooccur_parts, SQL_COOCCUR_PARTS),
+    "link_bestpick": (q_link_bestpick, SQL_LINK_BESTPICK),
+    "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
+    "unresolved_refs": (q_unresolved_refs, SQL_UNRESOLVED_REFS),
+    "nationkey_union": (q_nationkey_union, SQL_NATIONKEY_UNION),
+    "reach_bfs": (q_reach_bfs, SQL_REACH_BFS),
+    # two-green members of the rotation (red in r1, fixed r2): these
+    # MUST re-enter the window before they may ever hold tail slots
+    "brand_price_rank": (q_brand_price_rank, SQL_BRAND_PRICE_RANK),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "events_order_check": (q_events_order_check, SQL_EVENTS_ORDER_CHECK),
+    # ==== entries below are OUTSIDE the driver's first-50 window ========
+    # (each ≥3 green driver rows; the 11 r1-r3 entries not yet rotated
+    # cycle back through the window in r6)
+    "eog_order_edges": (q_eog_order_edges, SQL_EOG_ORDER_EDGES),
+    "topk_customers": (q_topk_customers, SQL_TOPK_CUSTOMERS),
+    "order_supp_set": (q_order_supp_set, SQL_ORDER_SUPP_SET),
+    "hotspot_scan": (q_hotspot_scan, SQL_HOTSPOT_SCAN),
+    "kg_doc_chunks": (q_kg_doc_chunks, SQL_KG_DOC_CHUNKS),
+    "ts_token_stats": (q_ts_token_stats, SQL_TS_TOKEN_STATS),
+    "ts_quality": (q_ts_quality, SQL_TS_QUALITY),
+    "ts_lang_id": (q_ts_lang_id, SQL_TS_LANG_ID),
+    "ts_fingerprint": (q_ts_fingerprint, SQL_TS_FINGERPRINT),
+    "dd_minhash": (q_dd_minhash, SQL_DD_MINHASH),
+    "dd_lsh_pairs": (q_dd_lsh_pairs, SQL_DD_LSH_PAIRS),
+    "dd_jaccard": (q_dd_jaccard, SQL_DD_JACCARD),
+    "pass_stats_agg": (q_pass_stats_agg, SQL_PASS_STATS_AGG),
+    "canon_cc": (q_canon_cc, SQL_CANON_CC),
+    "dd_simhash": (q_dd_simhash, SQL_DD_SIMHASH),
+    "dd_embedding_neardup": (q_dd_embedding_neardup, SQL_DD_EMBEDDING_NEARDUP),
+    "salted_count": (q_salted_brand_count, SQL_SALTED_BRAND_COUNT),
+    "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
+    "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
     "link_scope_chain": (q_link_scope_chain, SQL_LINK_SCOPE_CHAIN),
     "link_scored": (q_link_scored, SQL_LINK_SCORED),
     "link_imports": (q_link_imports, SQL_LINK_IMPORTS),
@@ -3483,36 +3655,4 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "qt_forall_witness": (q_qt_forall_witness, SQL_QT_FORALL_WITNESS),
     "sa_grammar_accept": (q_sa_grammar_accept, SQL_SA_GRAMMAR_ACCEPT),
     "sa_dfg_grammar": (q_sa_dfg_grammar, SQL_SA_DFG_GRAMMAR),
-    "eval_const_fold": (q_eval_const_fold, SQL_EVAL_CONST_FOLD),
-    "eval_multi_sets": (q_eval_multi_sets, SQL_EVAL_MULTI_SETS),
-    # --- tier 5: thrice-checked flagship canaries -----------------------
-    "pass_stats_agg": (q_pass_stats_agg, SQL_PASS_STATS_AGG),
-    "canon_cc": (q_canon_cc, SQL_CANON_CC),
-    "kg_doc_mentions": (q_kg_doc_mentions, SQL_KG_DOC_MENTIONS),
-    "kg_doc_cooccur": (q_kg_doc_cooccur, SQL_KG_DOC_COOCCUR),
-    "dd_exact": (q_dd_exact, SQL_DD_EXACT),
-    "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
-    "cooccur_parts": (q_cooccur_parts, SQL_COOCCUR_PARTS),
-    # ==== entries below are OUTSIDE the driver's first-50 window ========
-    # (each green in all of r1/r2/r3 — the most-verified, most-stable set)
-    "link_bestpick": (q_link_bestpick, SQL_LINK_BESTPICK),
-    "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
-    "unresolved_refs": (q_unresolved_refs, SQL_UNRESOLVED_REFS),
-    "nationkey_union": (q_nationkey_union, SQL_NATIONKEY_UNION),
-    "reach_bfs": (q_reach_bfs, SQL_REACH_BFS),
-    "events_order_check": (q_events_order_check, SQL_EVENTS_ORDER_CHECK),
-    "eog_order_edges": (q_eog_order_edges, SQL_EOG_ORDER_EDGES),
-    "topk_customers": (q_topk_customers, SQL_TOPK_CUSTOMERS),
-    "order_supp_set": (q_order_supp_set, SQL_ORDER_SUPP_SET),
-    "hotspot_scan": (q_hotspot_scan, SQL_HOTSPOT_SCAN),
-    "brand_price_rank": (q_brand_price_rank, SQL_BRAND_PRICE_RANK),
-    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
-    "kg_doc_chunks": (q_kg_doc_chunks, SQL_KG_DOC_CHUNKS),
-    "ts_token_stats": (q_ts_token_stats, SQL_TS_TOKEN_STATS),
-    "ts_quality": (q_ts_quality, SQL_TS_QUALITY),
-    "ts_lang_id": (q_ts_lang_id, SQL_TS_LANG_ID),
-    "ts_fingerprint": (q_ts_fingerprint, SQL_TS_FINGERPRINT),
-    "dd_minhash": (q_dd_minhash, SQL_DD_MINHASH),
-    "dd_lsh_pairs": (q_dd_lsh_pairs, SQL_DD_LSH_PAIRS),
-    "dd_jaccard": (q_dd_jaccard, SQL_DD_JACCARD),
 }

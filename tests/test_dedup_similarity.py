@@ -182,6 +182,28 @@ def _jpeg(w, h):
     return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
 
 
+def test_payload_dedup_exact_bytes(spark):
+    """Byte-level payload dedup: identical bytes group under one
+    digest with the smallest id canonical; a 1-byte difference keeps
+    both; the binary column itself is dropped before the shuffle (only
+    id+digest survive the projection)."""
+    from cpg_spark.operators.multimodal import payload_dedup
+
+    rows = [
+        (1, b"\x89PNG same bytes"),
+        (7, b"\x89PNG same bytes"),
+        (3, b"\x89PNG same bytez"),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in payload_dedup(media).collect()}
+    assert out[1]["canonical_id"] == 1 and not out[1]["is_duplicate"]
+    assert out[7]["canonical_id"] == 1 and out[7]["is_duplicate"]
+    assert out[7]["n_copies"] == 2 and out[1]["n_copies"] == 2
+    assert out[3]["n_copies"] == 1 and not out[3]["is_duplicate"]
+    assert out[1]["payload_sha256"] == out[7]["payload_sha256"]
+    assert out[3]["payload_sha256"] != out[1]["payload_sha256"]
+
+
 def _wav(rate, channels, seconds):
     import struct
     byte_rate = rate * channels * 2
@@ -512,6 +534,57 @@ def test_chunk_dedup_removes_boilerplate(spark):
     assert out[1]["n_dropped"] == 1 and out[1]["n_chunks"] == 2
     assert out[2]["text_deduped"] == "" and out[2]["n_dropped"] == 1
     assert out[3]["text_deduped"] == rows[3][1]
+
+
+def test_anchor_chunk_dedup_catches_misaligned_passage(spark):
+    """The cross-boundary case the fixed grid misses: one 40-token
+    passage pasted at token offset 0 in doc A and offset 3 in doc B.
+    chunk_dedup's 10-token grid sees disjoint fingerprints (drops
+    nothing from B); anchor_chunk_dedup's content-defined boundaries
+    re-align inside the passage and drop B's interior chunks. The
+    whole output is checked against an independent pure-python
+    replication of the anchor chunking + corpus-first rule."""
+    from cpg_spark.functions.hashing import char_poly_hash_py
+    from cpg_spark.operators.dedup import anchor_chunk_dedup, chunk_dedup
+
+    m = 4
+    passage = [f"tok{i}word" for i in range(40)]
+    # the catch needs interior anchors — prove the fixture has them
+    interior = [t for t in passage[1:] if char_poly_hash_py(t) % m == 0]
+    assert len(interior) >= 2
+    a_toks = passage
+    b_toks = ["junkx", "junky", "junkz"] + passage
+    rows = [(0, " ".join(a_toks)), (1, " ".join(b_toks))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    fixed = {r["doc_id"]: r for r in chunk_dedup(docs).collect()}
+    assert fixed[1]["n_dropped"] == 0  # the documented blind spot
+
+    def py_chunks(toks):
+        ss = [
+            i
+            for i in range(len(toks))
+            if i == 0 or char_poly_hash_py(toks[i]) % m == 0
+        ]
+        ee = ss[1:] + [len(toks)]
+        return [" ".join(toks[s:e]) for s, e in zip(ss, ee)]
+
+    first = {}
+    for did, toks in ((0, a_toks), (1, b_toks)):
+        for ci, c in enumerate(py_chunks(toks)):
+            first.setdefault(c, (did, ci))
+    exp = {}
+    for did, toks in ((0, a_toks), (1, b_toks)):
+        cs = py_chunks(toks)
+        keep = [c for ci, c in enumerate(cs) if first[c] == (did, ci)]
+        exp[did] = (" ".join(keep), len(cs), len(cs) - len(keep))
+
+    got = {
+        r["doc_id"]: (r["text_deduped"], r["n_chunks"], r["n_dropped"])
+        for r in anchor_chunk_dedup(docs, anchor_mod=m).collect()
+    }
+    assert got == exp
+    assert got[0][2] == 0 and got[1][2] >= len(interior) - 1  # B loses interior
 
 
 def test_lm_bigram_score_closed_form(spark):
