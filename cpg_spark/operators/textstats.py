@@ -165,6 +165,132 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def gopher_quality(docs: DataFrame) -> DataFrame:
+    """Gopher/MassiveText repetition-and-shape quality signals (Rae et
+    al. 2021, "Scaling Language Models: ...", Table A1 — the public
+    filter recipe most web-corpus pipelines start from), computed
+    relationally per document:
+
+      n_tokens            word count
+      mean_word_len       mean token length
+      frac_top_word       occurrences of the most frequent word / n
+      top_2gram_frac      chars covered by the most frequent 2-gram /
+                          total token chars (each occurrence counted)
+      dup_5gram_char_frac chars in 5-grams that occur more than once /
+                          total token chars
+      gopher_pass         the conjunction of the published gates:
+                          50 ≤ n ≤ 100000, 3 ≤ mean_word_len ≤ 10,
+                          frac_top_word ≤ 0.2, top_2gram_frac ≤ 0.20,
+                          dup_5gram_char_frac ≤ 0.15
+
+    Scale shape: explode → count per (doc, gram) → combinable max/sum
+    per doc — one shuffle keyed by doc_id-and-gram, partials combined
+    map-side; no per-row O(n²) scans, no window, no Python. Every
+    fraction is one division of exact integer counts (engine-parity
+    safe). Empty documents come back with n_tokens=0, NULL signals and
+    gopher_pass=false — unscorable, not silently passing."""
+    toks = doc_tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("__t")).filter(F.size("__t") > 0)
+
+    words = base.select("doc_id", F.explode("__t").alias("w"))
+    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    word_stats = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        (F.sum(F.col("c") * F.length("w")) / F.sum("c")).alias("mean_word_len"),
+        (F.max("c") / F.sum("c")).alias("frac_top_word"),
+        F.sum(F.col("c") * F.length("w")).cast("long").alias("__chars"),
+    )
+
+    def grams(n: int):
+        # n-gram join with '\x01' (outside the token alphabet) so
+        # gram char-length = length(gram) - (n-1) separators
+        return base.filter(F.size("__t") >= n).select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(__t) - {n - 1}), "
+                    f"i -> array_join(slice(__t, i, {n}), '\x01'))"
+                )
+            ).alias("g"),
+        )
+
+    g2 = (
+        grams(2)
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            # top 2-gram by (count desc, gram asc) — deterministic via
+            # min(struct(-count, gram)); its covered chars =
+            # occurrences x gram chars
+            F.min(
+                F.struct(
+                    (-F.col("c")).alias("__nc"),
+                    F.col("g").alias("g"),
+                )
+            ).alias("__top"),
+        )
+        .select(
+            "doc_id",
+            (-F.col("__top.__nc")).alias("__top2_cnt"),
+            (F.length(F.col("__top.g")) - 1).alias("__top2_chars"),
+        )
+    )
+    g5 = (
+        grams(5)
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("doc_id", "c", (F.length("g") - 4).alias("__gc"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("c") > 1, F.col("c") * F.col("__gc")).otherwise(0)
+            )
+            .cast("long")
+            .alias("__dup5_chars")
+        )
+    )
+
+    joined = (
+        word_stats.join(g2, "doc_id", "left")
+        .join(g5, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "mean_word_len",
+            "frac_top_word",
+            F.coalesce(
+                F.col("__top2_cnt") * F.col("__top2_chars") / F.col("__chars"),
+                F.lit(0.0),
+            ).alias("top_2gram_frac"),
+            F.coalesce(
+                F.col("__dup5_chars") / F.col("__chars"), F.lit(0.0)
+            ).alias("dup_5gram_char_frac"),
+        )
+    )
+    gate = (
+        F.col("n_tokens").between(50, 100_000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("frac_top_word") <= 0.2)
+        & (F.col("top_2gram_frac") <= 0.20)
+        & (F.col("dup_5gram_char_frac") <= 0.15)
+    )
+    scored = joined.withColumn("gopher_pass", gate)
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            "mean_word_len",
+            "frac_top_word",
+            "top_2gram_frac",
+            "dup_5gram_char_frac",
+            F.coalesce("gopher_pass", F.lit(False)).alias("gopher_pass"),
+        )
+    )
+
+
 OOV_TOKEN = "<unk>"  # outside DOC_TOKEN_RE's alphabet — can't collide
 
 

@@ -331,3 +331,50 @@ def test_bfs_with_pred_builds_shortest_path_tree(spark):
             cur = rows[cur]["pred"]
             steps += 1
         assert cur == 0 and steps == r["hops"], (n, steps, r["hops"])
+
+
+def test_pagerank_matches_independent_replication(spark):
+    """Weighted PageRank with a dangling node against an independent
+    pure-python power iteration using the SAME sequential fold order
+    (sorted by contributing src / node id) — bit-identical doubles, and
+    total rank mass stays 1."""
+    from cpg_spark.operators.graphrank import pagerank
+
+    raw = [("a", "b", 1), ("a", "c", 2), ("b", "c", 1), ("d", "a", 1)]
+    edges = spark.createDataFrame(raw, "src string, dst string, w long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, n_iter=5, weight_col="w").collect()
+    }
+
+    nodes = sorted({x for e in raw for x in e[:2]})
+    n = len(nodes)
+    out_w = {}
+    for s, _, w in raw:
+        out_w[s] = out_w.get(s, 0) + w
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(5):
+        contribs = {v: [] for v in nodes}
+        for s, d, w in raw:
+            contribs[d].append((s, r[s] * w / out_w[s]))
+        dangling = 0.0
+        for v in nodes:
+            if v not in out_w:
+                dangling = dangling + r[v]
+        nxt = {}
+        for v in nodes:
+            acc = 0.0
+            for _, c in sorted(contribs[v]):
+                acc = acc + c
+            nxt[v] = (1.0 - 0.85) / n + 0.85 * (acc + dangling / n)
+        r = nxt
+
+    assert got == r  # exact double equality — same fold order
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+
+    # ordered=False (the at-scale combinable mode) agrees to float noise
+    fast = {
+        x["node"]: x["rank"]
+        for x in pagerank(edges, n_iter=5, weight_col="w", ordered=False).collect()
+    }
+    assert all(abs(fast[v] - r[v]) < 1e-12 for v in nodes)

@@ -75,7 +75,8 @@ def test_registry_window_schedule():
     window, tail = set(names[:50]), names[50:]
     never_checked = {
         "kg_jsonld_graph", "sim_ivf_fitted_assign", "mm_payload_dedup",
-        "dd_anchor_dedup", "sim_pq_trained_cmp",
+        "dd_anchor_dedup", "sim_pq_trained_cmp", "ts_gopher_quality",
+        "kg_pagerank", "kg_url_curation",
     }
     assert never_checked <= window, never_checked - window
     once_checked = {
@@ -97,7 +98,8 @@ def test_registry_window_schedule():
     thrice_checked = {
         # r1+r2+r3 (not yet rotated back — cycle these in r6)
         "topk_customers", "order_supp_set", "hotspot_scan",
-        "events_order_check", "eog_order_edges",
+        "events_order_check", "eog_order_edges", "reach_bfs",
+        "nationkey_union", "unresolved_refs",
         "kg_doc_chunks", "ts_token_stats", "ts_quality", "ts_lang_id",
         "ts_fingerprint", "dd_minhash", "dd_lsh_pairs", "dd_jaccard",
         # all four rounds green
