@@ -61,6 +61,16 @@ HEADLINE = [
     # corpus-trained bigram-LM quality filter
     "dd_chunk_dedup",
     "ts_lm_score",
+    # round-5 flagships: content-defined (anchor-hash) segment dedup,
+    # byte-level payload dedup, the Gopher repetition filter, weighted
+    # PageRank over the entity graph, URL canonicalization + domain
+    # caps, and the @graph/array-root JSON-LD unwrap
+    "dd_anchor_dedup",
+    "mm_payload_dedup",
+    "ts_gopher_quality",
+    "kg_pagerank",
+    "kg_url_curation",
+    "kg_jsonld_graph",
 ]
 
 
@@ -68,9 +78,11 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def kg_chain(spark, pages, alias_dict):
+def kg_chain(spark, pages, alias_dict, cache: bool = True):
     """The full KG construction chain as one lazy plan (no snapshot IO —
-    bench measures compute; resume/IO is tested in the pytest suite)."""
+    bench measures compute; resume/IO is tested in the pytest suite).
+    cache=False is the plan-audit mode: the raw chain, so the audit sees
+    every exchange instead of an InMemoryRelation boundary."""
     from pyspark.sql import functions as F
 
     from cpg_spark.operators import canonicalize, extract, link, materialize
@@ -81,7 +93,9 @@ def kg_chain(spark, pages, alias_dict):
     comps = canonicalize.canonical_map(alias_dict)
     # the fan-out point: three triple branches read clinks — cache it
     # (the real pipeline materializes this stage to a snapshot instead)
-    clinks = materialize.canonical_links(links, comps).cache()
+    clinks = materialize.canonical_links(links, comps)
+    if cache:
+        clinks = clinks.cache()
     triples = materialize.triples_from_links(clinks, comps)
     return materialize.triples_agg(triples)
 

@@ -43,6 +43,8 @@ def pagerank(
     dst_col: str = "dst",
     weight_col: str | None = None,
     ordered: bool = True,
+    cache_static: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Weighted PageRank over edges(src, dst[, weight]), fixed n_iter
     power iterations (no data-dependent stopping — same input, same
@@ -63,7 +65,21 @@ def pagerank(
     ordered=False the per-dst aggregation is a plain combinable sum
     (use at web scale); ordered=True is the oracle-parity fold.
 
+    cache_static (default on) persists the edge and node frames once:
+    every iteration re-reads them, and without the cache a deep edge
+    lineage (e.g. edges derived from a full extract->cooccur plan)
+    re-executes per iteration — the EdgeCachePass analog. On a real
+    cluster this stage is a materialized snapshot instead. Caching does
+    not change values, only lineage.
+
+    Each iteration's ranks frame is lineage-truncated (the repo-wide
+    iterutil contract: localCheckpoint, or reliable checkpoint under
+    `checkpoint_dir` on a cluster) — the update reads ranks TWICE
+    (contributions + dangling mass), so without truncation the plan
+    doubles per iteration.
+
     Returns (node, rank)."""
+    from .iterutil import ckpt
     w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
     e = edges.select(
         F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"), w.alias("__w")
@@ -73,11 +89,18 @@ def pagerank(
         .unionByName(e.select(F.col("__d").alias("node")))
         .distinct()
     )
-    n = nodes.count()
     out_w = e.groupBy("__s").agg(F.sum("__w").alias("__ow"))
     e = e.join(out_w, "__s")
+    if cache_static:
+        e = e.cache()
+        nodes = nodes.cache()
+        out_w = out_w.cache()
+    n = nodes.count()
     teleport = (F.lit(1.0) - F.lit(damping)) / F.lit(n)
-    ranks = nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("rank"))
+    ranks = ckpt(
+        nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("rank")),
+        checkpoint_dir,
+    )
     for _ in range(n_iter):
         contribs = e.join(
             ranks.withColumnRenamed("node", "__s"), "__s"
@@ -98,7 +121,7 @@ def pagerank(
             dangling = ranks.join(
                 out_w.withColumnRenamed("__s", "node"), "node", "left_anti"
             ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
-        ranks = (
+        ranks = ckpt(
             nodes.join(summed, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
@@ -111,6 +134,7 @@ def pagerank(
                         + F.col("__dm") / F.lit(n)
                     )
                 ).alias("rank"),
-            )
+            ),
+            checkpoint_dir,
         )
     return ranks

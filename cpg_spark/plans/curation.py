@@ -41,6 +41,7 @@ def curate(
     near_dup_jaccard: float = 0.8,
     max_doc_freq: int | None = None,
     lsh_max_bucket: int | None = None,
+    cache: bool = True,
 ) -> dict[str, DataFrame]:
     """Returns {kept, dropped, dup_map, lsh_dropped_buckets, unpersist}:
     kept survivors, dropped rows with a reason column, the doc_id ->
@@ -71,7 +72,9 @@ def curate(
     # the tokenize/quality/lang-id gate chain runs once, not per
     # consumer (a production run materializes this stage to a snapshot;
     # the cache is the in-session analog, released via `unpersist`)
-    survivors = gated.filter(~F.col("__gated")).drop("__gated").cache()
+    survivors = gated.filter(~F.col("__gated")).drop("__gated")
+    if cache:  # cache=False = plan-audit mode (explain the raw chain)
+        survivors = survivors.cache()
 
     # exact dedup on normalized text
     exact = dedup.exact_dup_map(survivors).withColumnRenamed(
@@ -85,7 +88,9 @@ def curate(
     sig = dedup.minhash_signatures(survivors)
     # fan-out point #2: the candidate set feeds both sides of the verify
     # join — cache so MinHash+banding runs once (EdgeCachePass analog)
-    cand = dedup.lsh_candidate_pairs(sig, max_bucket_size=lsh_max_bucket).cache()
+    cand = dedup.lsh_candidate_pairs(sig, max_bucket_size=lsh_max_bucket)
+    if cache:
+        cand = cand.cache()
     jac = dedup.jaccard_for_pairs(survivors, cand, max_doc_freq=max_doc_freq)
     verified = jac.filter(F.col("jaccard") >= near_dup_jaccard).select("a", "b")
     lsh_dropped = dedup.lsh_dropped_buckets(sig, max_bucket_size=lsh_max_bucket)

@@ -64,6 +64,42 @@ def main() -> None:
         rows.append((name, audit_plan(plan)))
         spark.catalog.clearCache()
 
+    # composite pipelines (bench.py's kg_pipeline / curation_pipeline
+    # entries), audited uncached so every exchange is visible instead of
+    # an InMemoryRelation boundary
+    from bench import kg_chain
+
+    from cpg_spark.plans.curation import curate
+    from cpg_spark.synth_spark import alias_dict_df, synth_pages
+
+    kg_df = kg_chain(
+        spark, synth_pages(spark, 1000).coalesce(8), alias_dict_df(spark),
+        cache=False,
+    )
+    rows.append(
+        (
+            "kg_pipeline (composite)",
+            audit_plan(kg_df._jdf.queryExecution().explainString(mode)),
+        )
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    cur = curate(
+        docs,
+        target_langs=("en",),
+        min_quality=0.3,
+        near_dup_jaccard=0.8,
+        max_doc_freq=200,
+        lsh_max_bucket=64,
+        cache=False,
+    )
+    rows.append(
+        (
+            "curation_pipeline (composite)",
+            audit_plan(cur["kept"]._jdf.queryExecution().explainString(mode)),
+        )
+    )
+    spark.catalog.clearCache()
+
     lines = [
         "# Physical-plan audit (headline queries, sf0.1)",
         "",
