@@ -45,6 +45,7 @@ def pagerank(
     ordered: bool = True,
     cache_static: bool = True,
     checkpoint_dir: str | None = None,
+    truncate_lineage: bool = True,
 ) -> DataFrame:
     """Weighted PageRank over edges(src, dst[, weight]), fixed n_iter
     power iterations (no data-dependent stopping — same input, same
@@ -76,10 +77,19 @@ def pagerank(
     iterutil contract: localCheckpoint, or reliable checkpoint under
     `checkpoint_dir` on a cluster) — the update reads ranks TWICE
     (contributions + dangling mass), so without truncation the plan
-    doubles per iteration.
+    doubles per iteration. truncate_lineage=False is the PLAN-AUDIT
+    mode only: it skips both the checkpoints and the static caches so
+    `explain` shows the raw per-iteration operator shape (never run it
+    that way — the doubling is real).
 
     Returns (node, rank)."""
-    from .iterutil import ckpt
+    from .iterutil import ckpt as _ckpt_impl
+
+    if truncate_lineage:
+        ckpt = _ckpt_impl
+    else:
+        cache_static = False
+        ckpt = lambda df, _dir: df  # noqa: E731
     w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
     e = edges.select(
         F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"), w.alias("__w")

@@ -82,6 +82,32 @@ def main() -> None:
             audit_plan(kg_df._jdf.queryExecution().explainString(mode)),
         )
     )
+    # the registry kg_pagerank runs eagerly (per-iteration checkpoints),
+    # so its headline row above is just the final checkpoint scan; this
+    # row explains the raw 5-iteration loop shape instead
+    from pyspark.sql import functions as F
+
+    from cpg_spark.operators.graphrank import pagerank
+    from cpg_spark.queries import q_kg_doc_cooccur
+
+    cooc = q_kg_doc_cooccur(spark, sf_dir)
+    pr_edges = cooc.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst"),
+        F.col("n_evidence").alias("w"),
+    ).unionByName(
+        cooc.select(
+            F.col("obj").alias("src"), F.col("subj").alias("dst"),
+            F.col("n_evidence").alias("w"),
+        )
+    )
+    pr = pagerank(pr_edges, n_iter=5, weight_col="w", truncate_lineage=False)
+    rows.append(
+        (
+            "kg_pagerank (unrolled plan)",
+            audit_plan(pr._jdf.queryExecution().explainString(mode)),
+        )
+    )
+
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     cur = curate(
         docs,
