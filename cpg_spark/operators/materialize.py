@@ -197,3 +197,50 @@ def nodes_table(clinks: DataFrame, max_example_urls: int = 5) -> DataFrame:
             "example_urls",
         )
     )
+
+
+def resolve_functional(
+    triples: DataFrame,
+    functional_preds: tuple[str, ...],
+    priority_col: str = "source_priority",
+    evidence_col: str = "n_evidence",
+) -> DataFrame:
+    """Functional-property resolution across triple SOURCES — the KG
+    fusion step after multiple frontends emit into one graph (here:
+    publisher-asserted JSON-LD vs text-inferred triples; the reference
+    analog is TypeResolver picking one canonical type when frontends
+    disagree, TypeResolver.kt:107-128). A predicate in
+    `functional_preds` may hold only ONE object per subject; the winner
+    is chosen by (source priority desc, evidence desc, object asc) —
+    total order, deterministic at any parallelism. Non-functional
+    predicates pass through untouched.
+
+    Never silent: winning rows carry `n_alternatives` (how many
+    distinct objects competed — 1 means no conflict existed), so a
+    consumer can audit exactly which assertions were contested instead
+    of discovering fusion losses by diffing inputs.
+
+    Scale shape: one shuffle keyed by (subj, pred) for the window over
+    the functional subset only; the pass-through subset never
+    shuffles. Returns (subj, pred, obj, n_evidence, source_priority,
+    n_alternatives)."""
+    from pyspark.sql import Window
+
+    is_fn = F.col("pred").isin(list(functional_preds))
+    fn_rows = triples.filter(is_fn)
+    rest = triples.filter(~is_fn)
+    w = Window.partitionBy("subj", "pred")
+    ranked = fn_rows.withColumn(
+        "__rn",
+        F.row_number().over(
+            w.orderBy(
+                F.desc(priority_col), F.desc(evidence_col), F.asc("obj")
+            )
+        ),
+    ).withColumn(
+        "n_alternatives", F.size(F.collect_set("obj").over(w)).cast("long")
+    )
+    winners = ranked.filter(F.col("__rn") == 1).drop("__rn")
+    return winners.unionByName(
+        rest.withColumn("n_alternatives", F.lit(1).cast("long"))
+    )

@@ -76,6 +76,37 @@ def stratified_sample(
     return df.filter(h < thr)
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    temperature: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Quality-weighted (temperature) resampling — the corpus-mixing
+    step after scoring: each row survives with probability
+    weight^temperature (weight in [0,1]; temperature > 1 sharpens
+    toward high-quality documents, < 1 flattens — the data-mixture
+    temperature knob of CCNet-style pipelines), decided by the SAME
+    deterministic content hash as every sampler here: same key and
+    weight ⇒ same decision at any parallelism, in any engine.
+
+    Integer temperatures expand to repeated multiplication so the
+    threshold doubles are bit-identical across engines (the oracle
+    float rule — pow()'s last ulp is libm-dependent); fractional
+    temperatures fall back to pow() and give up exact oracle parity,
+    never correctness. Pure scan-stage filter, no shuffle."""
+    w = F.col(weight_col)
+    if float(temperature).is_integer() and temperature >= 0:
+        wt = F.lit(1.0)
+        for _ in range(int(temperature)):
+            wt = wt * w
+    else:
+        wt = F.pow(w, F.lit(float(temperature)))
+    h = _sample_hash_col(F.col(key_col), salt).cast("double")
+    return df.filter(h < wt * F.lit(float(CHAR_POLY_P)))
+
+
 def top_k_per_group(
     df: DataFrame,
     group_cols: list[str],

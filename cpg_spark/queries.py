@@ -2583,6 +2583,38 @@ def q_ts_stratified_sample(spark, sf_dir):
 
 from .operators.sampling import sample_hash_sql as _sample_hash_sql  # noqa: E402
 
+
+def q_ts_weighted_sample(spark, sf_dir):
+    """Quality-weighted temperature resampling
+    (sampling.weighted_sample, T=2): each document survives with
+    probability quality², sharpening the corpus toward high-quality
+    pages — the data-mixture knob applied after scoring. Deterministic:
+    the survival draw is the shared content hash, the threshold is
+    quality*quality (integer temperature = repeated multiplication, so
+    the doubles are bit-identical in the oracle)."""
+    from .operators.sampling import weighted_sample
+
+    docs = t(spark, sf_dir, "documents")
+    q = textstats.quality_score(docs).select("doc_id", "quality")
+    out = weighted_sample(
+        q, key_col="doc_id", weight_col="quality", temperature=2, salt="wq"
+    )
+    return out.select("doc_id", "quality")
+
+
+SQL_TS_WEIGHTED_SAMPLE = f"""
+WITH q AS (
+  SELECT doc_id,
+         (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END) * 0.4
+           + least(len(list_filter(toks, tk -> tk IN ({_EN_IN}))) / 5.0, 1.0) * 0.3
+           + least(len(list_distinct(toks)) / len(toks) * 2, 1.0) * 0.3 AS quality
+  FROM (SELECT doc_id, text, {TOKEN_SQL} AS toks FROM documents)
+  WHERE len(toks) > 0
+)
+SELECT doc_id, quality FROM q
+WHERE ({_sample_hash_sql('doc_id', 'wq')}) < quality * quality * {CHAR_POLY_P}
+"""
+
 _STRAT_HASH = _sample_hash_sql("doc_id", "s3")
 
 SQL_TS_STRATIFIED_SAMPLE = f"""
@@ -3599,6 +3631,76 @@ FROM n
 """
 
 
+def q_kg_fuse_sources(spark, sf_dir):
+    """Source fusion with functional-property resolution
+    (materialize.resolve_functional): the KG now has two frontends
+    asserting `inLanguage` per document — the publisher's own metadata
+    (priority 2, the JSON-LD/structured-data source) and the
+    text-inferred lang-ID (priority 1) — and a functional predicate may
+    hold one object per subject, so the fusion picks the winner by
+    (priority, evidence, object) and reports how many distinct objects
+    competed. Non-functional provenance triples pass through. The
+    oracle replays the union, the ranking, and the distinct-object
+    count."""
+    from .operators import materialize
+
+    docs = t_par(spark, sf_dir, "documents")
+    lid = textstats.lang_id(docs).select("doc_id", "pred_lang")
+    subj = F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))
+    one = F.lit(1).cast("long")
+    asserted = docs.select(
+        subj.alias("subj"), F.lit("inLanguage").alias("pred"),
+        F.col("lang").alias("obj"), one.alias("n_evidence"),
+        F.lit(2).alias("source_priority"),
+    )
+    inferred = docs.join(lid, "doc_id").select(
+        subj.alias("subj"), F.lit("inLanguage").alias("pred"),
+        F.col("pred_lang").alias("obj"), one.alias("n_evidence"),
+        F.lit(1).alias("source_priority"),
+    )
+    provenance = docs.select(
+        subj.alias("subj"), F.lit("from_source").alias("pred"),
+        F.col("source").alias("obj"), one.alias("n_evidence"),
+        F.lit(1).alias("source_priority"),
+    )
+    fused = materialize.resolve_functional(
+        asserted.unionByName(inferred).unionByName(provenance),
+        functional_preds=("inLanguage",),
+    )
+    return fused.select(
+        "subj", "pred", "obj", "n_evidence", "source_priority",
+        "n_alternatives",
+    )
+
+
+SQL_KG_FUSE_SOURCES = f"""
+WITH lid AS (
+  SELECT doc_id, pred_lang FROM ({_langid_sql()})
+), src AS (
+  SELECT 'doc:' || doc_id AS subj, 'inLanguage' AS pred, lang AS obj,
+         CAST(1 AS BIGINT) AS n_evidence, 2 AS source_priority
+  FROM documents
+  UNION ALL
+  SELECT 'doc:' || doc_id, 'inLanguage', pred_lang, 1, 1 FROM lid
+  UNION ALL
+  SELECT 'doc:' || doc_id, 'from_source', source, 1, 1 FROM documents
+), fn AS (
+  SELECT subj, pred, obj, n_evidence, source_priority,
+         row_number() OVER (
+           PARTITION BY subj, pred
+           ORDER BY source_priority DESC, n_evidence DESC, obj) AS rn,
+         CAST(COUNT(DISTINCT obj) OVER (PARTITION BY subj, pred) AS BIGINT)
+           AS n_alternatives
+  FROM src WHERE pred = 'inLanguage'
+)
+SELECT subj, pred, obj, n_evidence, source_priority, n_alternatives
+FROM fn WHERE rn = 1
+UNION ALL
+SELECT subj, pred, obj, n_evidence, source_priority, CAST(1 AS BIGINT)
+FROM src WHERE pred <> 'inLanguage'
+"""
+
+
 def q_ts_gopher_quality(spark, sf_dir):
     """Gopher/MassiveText repetition-quality signals
     (textstats.gopher_quality — Rae et al. 2021 Table A1): word-shape
@@ -3728,18 +3830,18 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # silently rotated 10 green queries out of the gate; this ordering is
 # deliberate and documented). ROUND-5 WINDOW (green-row counts below
 # are as of CORRECTNESS_r04):
-#   tier 1 (8)  — never driver-checked (round-5 additions);
+#   tier 1 (10) — never driver-checked (round-5 additions);
 #   tier 2 (14) — exactly one green row (the r4-window class), several
 #                 also changed in r5 (evaluator/walker/LM/JSON-LD);
 #   tier 3 (6)  — implementation CHANGED in r5 regardless of row count
 #                 (IVF assignment rework, evaluator __bypos rework);
 #   tier 4 (12) — two green rows (r3+r4, or r2/r1+r4 for the four
 #                 entries absent from one early round);
-#   tier 5 (10) — stale rotation, last green row r3: the five flagship
-#                 canaries, three of the r1-r3 tail, and the two
-#                 entries still short of three green rows
-#                 (brand_price_rank, events_hourly — red in r1); the
-#                 remaining 14 r1-r3 entries rotate in r6.
+#   tier 5 (8)  — stale rotation, last green row r3: the five flagship
+#                 canaries and the three entries still short of three
+#                 green rows (brand_price_rank, events_hourly,
+#                 link_bestpick — red in r1); the remaining 17 r1-r3
+#                 entries rotate in r6.
 # The TAIL (entries 51+) holds only queries with ≥3 green rows
 # (r1+r2+r4, r2+r3+r4, or all four) — every registry entry keeps at
 # least one green driver row on record.
@@ -3754,6 +3856,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ts_gopher_quality": (q_ts_gopher_quality, SQL_TS_GOPHER_QUALITY),
     "kg_pagerank": (q_kg_pagerank, SQL_KG_PAGERANK),
     "kg_url_curation": (q_kg_url_curation, SQL_KG_URL_CURATION),
+    "kg_fuse_sources": (q_kg_fuse_sources, SQL_KG_FUSE_SOURCES),
+    "ts_weighted_sample": (q_ts_weighted_sample, SQL_TS_WEIGHTED_SAMPLE),
     # --- tier 2: one green row (r4) -------------------------------------
     "dd_contamination": (q_dd_contamination, SQL_DD_CONTAMINATION),
     "sim_ann_recall": (q_sim_ann_recall, SQL_SIM_ANN_RECALL),
@@ -3795,16 +3899,16 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dd_exact": (q_dd_exact, SQL_DD_EXACT),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     "cooccur_parts": (q_cooccur_parts, SQL_COOCCUR_PARTS),
-    "link_bestpick": (q_link_bestpick, SQL_LINK_BESTPICK),
-    "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
     # two-green members of the rotation (red in r1, fixed r2): these
     # MUST re-enter the window before they may ever hold tail slots
     "brand_price_rank": (q_brand_price_rank, SQL_BRAND_PRICE_RANK),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
-    "events_order_check": (q_events_order_check, SQL_EVENTS_ORDER_CHECK),
+    "link_bestpick": (q_link_bestpick, SQL_LINK_BESTPICK),
     # ==== entries below are OUTSIDE the driver's first-50 window ========
-    # (each ≥3 green driver rows; the 14 r1-r3 entries not yet rotated
+    # (each ≥3 green driver rows; the 17 r1-r3 entries not yet rotated
     # cycle back through the window in r6)
+    "events_order_check": (q_events_order_check, SQL_EVENTS_ORDER_CHECK),
+    "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
     "unresolved_refs": (q_unresolved_refs, SQL_UNRESOLVED_REFS),
     "nationkey_union": (q_nationkey_union, SQL_NATIONKEY_UNION),
     "reach_bfs": (q_reach_bfs, SQL_REACH_BFS),

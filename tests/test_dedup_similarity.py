@@ -182,6 +182,45 @@ def _jpeg(w, h):
     return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
 
 
+def test_resolve_functional_fusion(spark):
+    """Functional-property fusion: for a functional predicate the
+    higher-priority source wins, ties fall to evidence then object;
+    n_alternatives counts DISTINCT competing objects (two sources
+    agreeing is not a conflict); non-functional predicates pass
+    through untouched."""
+    from cpg_spark.operators.materialize import resolve_functional
+
+    rows = [
+        # s1: sources disagree -> priority 2 wins, 2 alternatives
+        ("s1", "lang", "en", 1, 2),
+        ("s1", "lang", "de", 5, 1),
+        # s2: sources agree -> no conflict recorded
+        ("s2", "lang", "en", 1, 2),
+        ("s2", "lang", "en", 3, 1),
+        # s3: same priority -> evidence breaks the tie
+        ("s3", "lang", "fr", 7, 1),
+        ("s3", "lang", "es", 2, 1),
+        # non-functional rows pass through
+        ("s1", "tag", "a", 1, 1),
+        ("s1", "tag", "b", 1, 1),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, n_evidence long,"
+        " source_priority int",
+    )
+    out = resolve_functional(t, functional_preds=("lang",)).collect()
+    lang = {r["subj"]: r for r in out if r["pred"] == "lang"}
+    assert lang["s1"]["obj"] == "en" and lang["s1"]["n_alternatives"] == 2
+    assert lang["s1"]["source_priority"] == 2
+    assert lang["s2"]["obj"] == "en" and lang["s2"]["n_alternatives"] == 1
+    assert lang["s3"]["obj"] == "fr" and lang["s3"]["n_evidence"] == 7
+    tags = sorted(
+        (r["obj"], r["n_alternatives"]) for r in out if r["pred"] == "tag"
+    )
+    assert tags == [("a", 1), ("b", 1)]
+
+
 def test_payload_dedup_exact_bytes(spark):
     """Byte-level payload dedup: identical bytes group under one
     digest with the smallest id canonical; a 1-byte difference keeps
