@@ -244,3 +244,44 @@ def resolve_functional(
     return winners.unionByName(
         rest.withColumn("n_alternatives", F.lit(1).cast("long"))
     )
+
+
+def diff_triples_agg(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Snapshot diff between two materialized graph aggregates — what a
+    crawl batch actually CHANGED (merge_triples_agg's audit partner:
+    merge appends, diff explains). Full outer join on (subj, pred,
+    obj):
+
+      added     in new only
+      removed   in old only
+      changed   both, n_evidence differs
+      (identical rows are omitted — the diff is the delta, and at
+       10^12-document scale the unchanged mass dwarfs it)
+
+    Returns (subj, pred, obj, status, old_n, new_n, delta) with
+    old_n/new_n NULL on the absent side and delta = new-coalesced minus
+    old-coalesced. One shuffle on the join key; with both snapshots
+    bucketed by subj the exchange disappears — the same layout contract
+    as merge_triples_agg."""
+    o = old.select(
+        "subj", "pred", "obj", F.col("n_evidence").alias("old_n")
+    )
+    n = new.select(
+        "subj", "pred", "obj", F.col("n_evidence").alias("new_n")
+    )
+    joined = o.join(n, ["subj", "pred", "obj"], "full_outer")
+    status = (
+        F.when(F.col("old_n").isNull(), F.lit("added"))
+        .when(F.col("new_n").isNull(), F.lit("removed"))
+        .when(F.col("old_n") != F.col("new_n"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(
+            "subj", "pred", "obj", "status", "old_n", "new_n",
+            (
+                F.coalesce("new_n", F.lit(0)) - F.coalesce("old_n", F.lit(0))
+            ).cast("long").alias("delta"),
+        )
+    )

@@ -3701,6 +3701,55 @@ FROM src WHERE pred <> 'inLanguage'
 """
 
 
+def q_kg_snapshot_diff(spark, sf_dir):
+    """Snapshot diff of the materialized graph
+    (materialize.diff_triples_agg — merge_triples_agg's audit partner):
+    the 'previous crawl' is the co-occurrence graph over the even
+    doc_ids, the new snapshot is the full corpus; the diff reports
+    exactly what the odd-doc batch added and strengthened (added /
+    changed / removed with evidence deltas; identical rows omitted).
+    The oracle replays both snapshot aggregations and the full outer
+    join."""
+    from .operators import materialize
+
+    def cooccur(m):
+        m = m.withColumn("chunk", F.floor(F.col("tok_idx") / 10).cast("int"))
+        per_chunk = m.groupBy("doc_id", "chunk").agg(
+            F.sort_array(F.collect_set("entity_id")).alias("ents")
+        )
+        pairs = per_chunk.select(
+            F.explode(sorted_pairs(F.col("ents"))).alias("p")
+        )
+        return pairs.groupBy(
+            F.col("p.a").alias("subj"), F.col("p.b").alias("obj")
+        ).agg(F.count(F.lit(1)).alias("n_evidence")).select(
+            "subj", F.lit("co_occurs_with").alias("pred"), "obj", "n_evidence"
+        )
+
+    mentions = q_kg_doc_mentions(spark, sf_dir)
+    old = cooccur(mentions.filter(F.col("doc_id") % 2 == 0))
+    new = cooccur(mentions)
+    return materialize.diff_triples_agg(old, new)
+
+
+SQL_KG_SNAPSHOT_DIFF = f"""
+WITH new_g AS ({SQL_KG_DOC_COOCCUR.strip()}
+), old_g AS ({SQL_KG_DOC_COOCCUR.strip().replace("FROM documents))", "FROM documents WHERE doc_id % 2 = 0))")}
+)
+SELECT COALESCE(n.subj, o.subj) AS subj, COALESCE(n.pred, o.pred) AS pred,
+       COALESCE(n.obj, o.obj) AS obj,
+       CASE WHEN o.subj IS NULL THEN 'added'
+            WHEN n.subj IS NULL THEN 'removed'
+            WHEN o.n_evidence <> n.n_evidence THEN 'changed' END AS status,
+       o.n_evidence AS old_n, n.n_evidence AS new_n,
+       CAST(COALESCE(n.n_evidence, 0) - COALESCE(o.n_evidence, 0) AS BIGINT)
+         AS delta
+FROM old_g o FULL OUTER JOIN new_g n
+  ON o.subj = n.subj AND o.pred = n.pred AND o.obj = n.obj
+WHERE o.subj IS NULL OR n.subj IS NULL OR o.n_evidence <> n.n_evidence
+"""
+
+
 def q_ts_gopher_quality(spark, sf_dir):
     """Gopher/MassiveText repetition-quality signals
     (textstats.gopher_quality — Rae et al. 2021 Table A1): word-shape
@@ -3830,18 +3879,18 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # silently rotated 10 green queries out of the gate; this ordering is
 # deliberate and documented). ROUND-5 WINDOW (green-row counts below
 # are as of CORRECTNESS_r04):
-#   tier 1 (10) — never driver-checked (round-5 additions);
+#   tier 1 (11) — never driver-checked (round-5 additions);
 #   tier 2 (14) — exactly one green row (the r4-window class), several
 #                 also changed in r5 (evaluator/walker/LM/JSON-LD);
 #   tier 3 (6)  — implementation CHANGED in r5 regardless of row count
 #                 (IVF assignment rework, evaluator __bypos rework);
 #   tier 4 (12) — two green rows (r3+r4, or r2/r1+r4 for the four
 #                 entries absent from one early round);
-#   tier 5 (8)  — stale rotation, last green row r3: the five flagship
+#   tier 5 (7)  — stale rotation, last green row r3: four flagship
 #                 canaries and the three entries still short of three
 #                 green rows (brand_price_rank, events_hourly,
-#                 link_bestpick — red in r1); the remaining 17 r1-r3
-#                 entries rotate in r6.
+#                 link_bestpick — red in r1); the remaining 18 r1-r3
+#                 entries (cooccur_parts joins them) rotate in r6.
 # The TAIL (entries 51+) holds only queries with ≥3 green rows
 # (r1+r2+r4, r2+r3+r4, or all four) — every registry entry keeps at
 # least one green driver row on record.
@@ -3858,6 +3907,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kg_url_curation": (q_kg_url_curation, SQL_KG_URL_CURATION),
     "kg_fuse_sources": (q_kg_fuse_sources, SQL_KG_FUSE_SOURCES),
     "ts_weighted_sample": (q_ts_weighted_sample, SQL_TS_WEIGHTED_SAMPLE),
+    "kg_snapshot_diff": (q_kg_snapshot_diff, SQL_KG_SNAPSHOT_DIFF),
     # --- tier 2: one green row (r4) -------------------------------------
     "dd_contamination": (q_dd_contamination, SQL_DD_CONTAMINATION),
     "sim_ann_recall": (q_sim_ann_recall, SQL_SIM_ANN_RECALL),
@@ -3898,15 +3948,15 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kg_doc_cooccur": (q_kg_doc_cooccur, SQL_KG_DOC_COOCCUR),
     "dd_exact": (q_dd_exact, SQL_DD_EXACT),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
-    "cooccur_parts": (q_cooccur_parts, SQL_COOCCUR_PARTS),
     # two-green members of the rotation (red in r1, fixed r2): these
     # MUST re-enter the window before they may ever hold tail slots
     "brand_price_rank": (q_brand_price_rank, SQL_BRAND_PRICE_RANK),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "link_bestpick": (q_link_bestpick, SQL_LINK_BESTPICK),
     # ==== entries below are OUTSIDE the driver's first-50 window ========
-    # (each ≥3 green driver rows; the 17 r1-r3 entries not yet rotated
+    # (each ≥3 green driver rows; the 18 r1-r3 entries not yet rotated
     # cycle back through the window in r6)
+    "cooccur_parts": (q_cooccur_parts, SQL_COOCCUR_PARTS),
     "events_order_check": (q_events_order_check, SQL_EVENTS_ORDER_CHECK),
     "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
     "unresolved_refs": (q_unresolved_refs, SQL_UNRESOLVED_REFS),

@@ -221,6 +221,27 @@ def test_resolve_functional_fusion(spark):
     assert tags == [("a", 1), ("b", 1)]
 
 
+def test_diff_triples_agg_statuses(spark):
+    """Snapshot diff: added / removed / changed with evidence deltas;
+    identical rows are omitted (the diff IS the delta)."""
+    from cpg_spark.operators.materialize import diff_triples_agg
+
+    schema = "subj string, pred string, obj string, n_evidence long"
+    old = spark.createDataFrame(
+        [("a", "p", "x", 3), ("b", "p", "y", 1), ("c", "p", "z", 2)], schema
+    )
+    new = spark.createDataFrame(
+        [("a", "p", "x", 5), ("c", "p", "z", 2), ("d", "p", "w", 4)], schema
+    )
+    out = {r["subj"]: r for r in diff_triples_agg(old, new).collect()}
+    assert set(out) == {"a", "b", "d"}  # c unchanged -> omitted
+    assert out["a"]["status"] == "changed" and out["a"]["delta"] == 2
+    assert out["b"]["status"] == "removed" and out["b"]["delta"] == -1
+    assert out["b"]["new_n"] is None
+    assert out["d"]["status"] == "added" and out["d"]["delta"] == 4
+    assert out["d"]["old_n"] is None
+
+
 def test_payload_dedup_exact_bytes(spark):
     """Byte-level payload dedup: identical bytes group under one
     digest with the smallest id canonical; a 1-byte difference keeps

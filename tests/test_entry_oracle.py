@@ -77,7 +77,7 @@ def test_registry_window_schedule():
         "kg_jsonld_graph", "sim_ivf_fitted_assign", "mm_payload_dedup",
         "dd_anchor_dedup", "sim_pq_trained_cmp", "ts_gopher_quality",
         "kg_pagerank", "kg_url_curation", "kg_fuse_sources",
-        "ts_weighted_sample",
+        "ts_weighted_sample", "kg_snapshot_diff",
     }
     assert never_checked <= window, never_checked - window
     once_checked = {
@@ -101,6 +101,7 @@ def test_registry_window_schedule():
         "topk_customers", "order_supp_set", "hotspot_scan",
         "events_order_check", "eog_order_edges", "reach_bfs",
         "nationkey_union", "unresolved_refs", "region_revenue",
+        "cooccur_parts",
         "events_order_check",
         "kg_doc_chunks", "ts_token_stats", "ts_quality", "ts_lang_id",
         "ts_fingerprint", "dd_minhash", "dd_lsh_pairs", "dd_jaccard",
