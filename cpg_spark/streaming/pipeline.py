@@ -125,3 +125,88 @@ def dedup_page_stream(
         .dropDuplicatesWithinWatermark(["__norm"])
         .drop("__norm")
     )
+
+
+def ingest_graph_stream(
+    spark: SparkSession,
+    pages_dir: str,
+    alias_dict: DataFrame,
+    graph_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "kg_ingest",
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming KG CONSTRUCTION — the full batch chain (sentences →
+    mentions → link → canonicalize → triple agg) run per micro-batch
+    and MERGED into a persistent graph snapshot via foreachBatch +
+    merge_triples_agg. Because merge(agg A, agg B) ≡ agg(A ∪ B)
+    exactly (the golden-tested incremental-merge property), the final
+    streamed graph is bit-identical to the batch-at-once graph over the
+    same pages — golden-tested in tests/test_streaming.py.
+
+    Exactly-once across micro-batch RETRIES: each commit writes the
+    merged snapshot to graph_dir/v{batch_id} and then atomically
+    renames a pointer file recording {batch_id, path}; a replayed
+    batch_id ≤ the committed one is skipped, so a crash between the
+    snapshot write and Spark's checkpoint advance cannot double-merge
+    (the KgPipeline snapshot-commit protocol applied to streaming).
+    The 'current graph' a reader sees is whatever the pointer names —
+    always one complete, consistent snapshot.
+
+    Per-page atomicity: a page's sentences never split across batches
+    (file-sourced micro-batches are whole files), so co-occurrence
+    evidence is batch-local and the merge's sum rule is exact.
+    Returns the started StreamingQuery (AvailableNow trigger)."""
+    import json as _json
+    import os as _os
+
+    from ..operators import canonicalize, extract, link as _link, materialize
+
+    comps = canonicalize.canonical_map(alias_dict)
+    pointer = _os.path.join(graph_dir, "CURRENT")
+
+    def _read_pointer():
+        if not _os.path.exists(pointer):
+            return None
+        with open(pointer) as f:
+            return _json.load(f)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        cur = _read_pointer()
+        if cur is not None and batch_id <= cur["batch_id"]:
+            return  # replayed batch already committed — skip, don't double-merge
+        sent = extract.sentences(batch_df)
+        ment = extract.mentions(sent)
+        links = _link.link_mentions(ment, alias_dict)
+        clinks = materialize.canonical_links(links, comps)
+        agg = materialize.triples_agg(
+            materialize.triples_from_links(clinks, comps)
+        )
+        if cur is not None:
+            existing = batch_df.sparkSession.read.parquet(cur["path"])
+            agg = materialize.merge_triples_agg(existing, agg)
+        vdir = _os.path.join(graph_dir, f"v{batch_id:06d}")
+        agg.write.mode("overwrite").parquet(vdir)
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"batch_id": batch_id, "path": vdir}, f)
+        _os.replace(tmp, pointer)  # atomic on POSIX
+
+    _os.makedirs(graph_dir, exist_ok=True)
+    stream = read_page_stream(spark, pages_dir, max_files_per_trigger)
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .queryName(query_name)
+        .start()
+    )
+
+
+def read_current_graph(spark: SparkSession, graph_dir: str) -> DataFrame:
+    """The snapshot the ingest stream last committed (pointer-followed)."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(graph_dir, "CURRENT")) as f:
+        return spark.read.parquet(_json.load(f)["path"])
