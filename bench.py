@@ -71,6 +71,11 @@ HEADLINE = [
     "kg_pagerank",
     "kg_url_curation",
     "kg_jsonld_graph",
+    # round-5 late additions: multi-source fusion, graph snapshot diff,
+    # and quality-temperature resampling
+    "kg_fuse_sources",
+    "kg_snapshot_diff",
+    "ts_weighted_sample",
 ]
 
 
