@@ -3750,6 +3750,46 @@ WHERE o.subj IS NULL OR n.subj IS NULL OR o.n_evidence <> n.n_evidence
 """
 
 
+def q_mm_frame_dedup(spark, sf_dir):
+    """Frame-level multimodal dedup: the 1-to-many mapInPandas frame
+    sampler (multimodal.sample_frames — one opaque 'frame' per 1024
+    payload bytes) composed with byte-level payload_dedup, so the
+    Arrow-batched Python boundary itself sits under the SQL-oracle gate
+    instead of pytest only. The oracle rebuilds the frames by
+    char-slicing (the fixture corpus is pure ASCII, so char slices ==
+    byte slices; the Spark side slices real bytes) and replays the
+    digest windowing. Trailing sub-1024-byte remainders are not framed
+    — the documented sampler contract, identical in both engines."""
+    from .operators import multimodal as mm
+
+    docs = t_par(spark, sf_dir, "documents")
+    frames = mm.sample_frames(mm.docs_as_media(docs), every_n_bytes=1024)
+    keyed = frames.select(
+        F.concat_ws(":", F.col("media_id"), F.col("frame_idx")).alias(
+            "frame_key"
+        ),
+        "frame",
+    )
+    return mm.payload_dedup(keyed, id_col="frame_key", payload_col="frame")
+
+
+SQL_MM_FRAME_DEDUP = """
+WITH frames AS (
+  SELECT CAST(doc_id AS VARCHAR) || ':' || i AS frame_key,
+         substring(text, CAST(i AS BIGINT) * 1024 + 1, 1024) AS frame
+  FROM documents,
+       unnest(range(0, greatest(CAST(1 AS BIGINT), length(text) // 1024)))
+         AS t(i)
+)
+SELECT frame_key, sha256(frame) AS payload_sha256,
+       MIN(frame_key) OVER (PARTITION BY sha256(frame)) AS canonical_id,
+       frame_key <> MIN(frame_key) OVER (PARTITION BY sha256(frame))
+         AS is_duplicate,
+       CAST(COUNT(*) OVER (PARTITION BY sha256(frame)) AS BIGINT) AS n_copies
+FROM frames
+"""
+
+
 def q_ts_gopher_quality(spark, sf_dir):
     """Gopher/MassiveText repetition-quality signals
     (textstats.gopher_quality — Rae et al. 2021 Table A1): word-shape
@@ -3879,18 +3919,20 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # silently rotated 10 green queries out of the gate; this ordering is
 # deliberate and documented). ROUND-5 WINDOW (green-row counts below
 # are as of CORRECTNESS_r04):
-#   tier 1 (11) — never driver-checked (round-5 additions);
+#   tier 1 (12) — never driver-checked (round-5 additions);
 #   tier 2 (14) — exactly one green row (the r4-window class), several
 #                 also changed in r5 (evaluator/walker/LM/JSON-LD);
 #   tier 3 (6)  — implementation CHANGED in r5 regardless of row count
 #                 (IVF assignment rework, evaluator __bypos rework);
 #   tier 4 (12) — two green rows (r3+r4, or r2/r1+r4 for the four
 #                 entries absent from one early round);
-#   tier 5 (7)  — stale rotation, last green row r3: four flagship
-#                 canaries and the three entries still short of three
-#                 green rows (brand_price_rank, events_hourly,
-#                 link_bestpick — red in r1); the remaining 18 r1-r3
-#                 entries (cooccur_parts joins them) rotate in r6.
+#   tier 5 (6)  — stale rotation, last green row r3: two flagship
+#                 canaries (kg_doc_mentions, kg_doc_cooccur) and the
+#                 FOUR entries still short of three green rows
+#                 (brand_price_rank, events_hourly, link_bestpick,
+#                 events_sessions — red in r1); the remaining 19 r1-r3
+#                 entries (cooccur_parts and dd_exact join them) rotate
+#                 in r6.
 # The TAIL (entries 51+) holds only queries with ≥3 green rows
 # (r1+r2+r4, r2+r3+r4, or all four) — every registry entry keeps at
 # least one green driver row on record.
@@ -3908,6 +3950,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kg_fuse_sources": (q_kg_fuse_sources, SQL_KG_FUSE_SOURCES),
     "ts_weighted_sample": (q_ts_weighted_sample, SQL_TS_WEIGHTED_SAMPLE),
     "kg_snapshot_diff": (q_kg_snapshot_diff, SQL_KG_SNAPSHOT_DIFF),
+    "mm_frame_dedup": (q_mm_frame_dedup, SQL_MM_FRAME_DEDUP),
     # --- tier 2: one green row (r4) -------------------------------------
     "dd_contamination": (q_dd_contamination, SQL_DD_CONTAMINATION),
     "sim_ann_recall": (q_sim_ann_recall, SQL_SIM_ANN_RECALL),
@@ -3946,7 +3989,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # --- tier 5: stale rotation (last green row r3) ---------------------
     "kg_doc_mentions": (q_kg_doc_mentions, SQL_KG_DOC_MENTIONS),
     "kg_doc_cooccur": (q_kg_doc_cooccur, SQL_KG_DOC_COOCCUR),
-    "dd_exact": (q_dd_exact, SQL_DD_EXACT),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     # two-green members of the rotation (red in r1, fixed r2): these
     # MUST re-enter the window before they may ever hold tail slots
@@ -3954,8 +3996,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "link_bestpick": (q_link_bestpick, SQL_LINK_BESTPICK),
     # ==== entries below are OUTSIDE the driver's first-50 window ========
-    # (each ≥3 green driver rows; the 18 r1-r3 entries not yet rotated
+    # (each ≥3 green driver rows; the 19 r1-r3 entries not yet rotated
     # cycle back through the window in r6)
+    "dd_exact": (q_dd_exact, SQL_DD_EXACT),
     "cooccur_parts": (q_cooccur_parts, SQL_COOCCUR_PARTS),
     "events_order_check": (q_events_order_check, SQL_EVENTS_ORDER_CHECK),
     "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),

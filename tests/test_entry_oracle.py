@@ -44,7 +44,7 @@ def test_entry_returns_rows(spark):
         "pass_stats_agg",
         "link_bestpick",
         "canon_cc",
-        "cooccur_parts",
+        "cooccur_parts", "dd_exact",
         "events_sessions",
         "kg_doc_cooccur",
         "ts_lang_id",
@@ -77,7 +77,7 @@ def test_registry_window_schedule():
         "kg_jsonld_graph", "sim_ivf_fitted_assign", "mm_payload_dedup",
         "dd_anchor_dedup", "sim_pq_trained_cmp", "ts_gopher_quality",
         "kg_pagerank", "kg_url_curation", "kg_fuse_sources",
-        "ts_weighted_sample", "kg_snapshot_diff",
+        "ts_weighted_sample", "kg_snapshot_diff", "mm_frame_dedup",
     }
     assert never_checked <= window, never_checked - window
     once_checked = {
@@ -93,15 +93,19 @@ def test_registry_window_schedule():
         "eval_set_ops", "eval_const_fold", "eval_multi_sets",
     }
     assert changed_r5 <= window, changed_r5 - window
-    # brand_price_rank / events_hourly / link_bestpick were red in r1
-    # (2 green rows) — they stay windowed until thrice-green
-    assert {"brand_price_rank", "events_hourly", "link_bestpick"} <= window
+    # brand_price_rank / events_hourly / link_bestpick / events_sessions
+    # were red in r1 (2 green rows) — they stay windowed until
+    # thrice-green
+    assert {
+        "brand_price_rank", "events_hourly", "link_bestpick",
+        "events_sessions",
+    } <= window
     thrice_checked = {
         # r1+r2+r3 (not yet rotated back — cycle these in r6)
         "topk_customers", "order_supp_set", "hotspot_scan",
         "events_order_check", "eog_order_edges", "reach_bfs",
         "nationkey_union", "unresolved_refs", "region_revenue",
-        "cooccur_parts",
+        "cooccur_parts", "dd_exact",
         "events_order_check",
         "kg_doc_chunks", "ts_token_stats", "ts_quality", "ts_lang_id",
         "ts_fingerprint", "dd_minhash", "dd_lsh_pairs", "dd_jaccard",
