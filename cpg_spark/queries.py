@@ -3224,6 +3224,91 @@ QUALIFY rank <= 5
 """
 
 
+def q_sim_ivfpq_topk(spark, sf_dir):
+    """IVF-ADC with residual product quantization
+    (similarity.ivfpq_topk — the composed FAISS-IVFADC shape): corpus
+    assigned to cosine-nearest cells, each vector PQ-encodes its
+    RESIDUAL against its cell centroid, queries probe their 2 best
+    cells and score candidates through a per-(query, cell) residual
+    lookup table. The oracle replays assignment, residual encoding,
+    probe ranking, and the s-ordered LUT fold relationally — every
+    float is the same sequential fold on both sides."""
+    emb = t_par(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebook_from_seeds(emb, _PQ_SEEDS, m=_PQ_M, dim=_EMB_DIM)
+    return similarity.ivfpq_topk(
+        emb, _IVF_CENTROIDS, cb, _QUERY_IDS, k=3, nprobe=2, dim=_EMB_DIM
+    )
+
+
+SQL_SIM_IVFPQ_TOPK = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cell, emb AS cent FROM e
+  WHERE vec_id IN ({", ".join(map(str, _IVF_CENTROIDS))})
+), seeds AS (
+  SELECT vec_id AS code, emb AS cent FROM e
+  WHERE vec_id IN ({", ".join(map(str, _PQ_SEEDS))})
+), assign AS (
+  SELECT v.vec_id, c.cell FROM e v CROSS JOIN cents c
+  QUALIFY row_number() OVER (
+    PARTITION BY v.vec_id
+    ORDER BY {_dot_sql('c.cent', 'v.emb')}
+               / ({_norm_sql('c.cent')} * {_norm_sql('v.emb')}) DESC,
+             c.cell) = 1
+), resid AS (
+  SELECT a.vec_id, a.cell,
+         list_transform(range(1, {_EMB_DIM + 1}),
+                        i -> v.emb[i] - c.cent[i]) AS remb
+  FROM assign a JOIN e v USING (vec_id) JOIN cents c USING (cell)
+), rcodes AS (
+  SELECT vec_id, cell, s, CAST(code AS INT) AS code FROM (
+    SELECT r.vec_id, r.cell, sp.s, seeds.code,
+           {_pq_subdist_sql('r.remb', 'seeds.cent', 'sp.s')} AS d
+    FROM resid r
+    CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS s) sp
+    CROSS JOIN seeds)
+  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) = 1
+), q AS (
+  SELECT vec_id AS q_id, emb AS qe FROM e
+  WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})
+), probes AS (
+  SELECT q_id, cell, qe FROM (
+    SELECT q.q_id, c.cell, q.qe,
+           {_dot_sql('c.cent', 'q.qe')}
+             / ({_norm_sql('c.cent')} * {_norm_sql('q.qe')}) AS cs
+    FROM q CROSS JOIN cents c)
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, cell) <= 2
+), qlut AS (
+  SELECT p.q_id, p.cell, sp.s, CAST(seeds.code AS INT) AS code,
+         {_pq_subdist_sql('qr.qres', 'seeds.cent', 'sp.s')} AS d
+  FROM probes p
+  JOIN (SELECT p2.q_id, p2.cell,
+               list_transform(range(1, {_EMB_DIM + 1}),
+                              i -> p2.qe[i] - c.cent[i]) AS qres
+        FROM probes p2 JOIN cents c USING (cell)) qr
+    ON qr.q_id = p.q_id AND qr.cell = p.cell
+  CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS s) sp
+  CROSS JOIN seeds
+), scored AS (
+  SELECT l.q_id, r.vec_id AS neighbor_id, r.cell,
+         list_reduce(list_prepend(0.0, list(l.d ORDER BY l.s)),
+                     (x, y) -> x + y) AS dist
+  FROM rcodes r
+  JOIN qlut l ON l.cell = r.cell AND l.s = r.s AND l.code = r.code
+  WHERE r.vec_id != l.q_id
+  GROUP BY 1, 2, 3
+)
+SELECT q_id,
+       CAST(row_number() OVER (
+         PARTITION BY q_id ORDER BY dist, neighbor_id) AS INT) AS rank,
+       neighbor_id, cell, dist
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
 def q_sim_pq_recall(spark, sf_dir):
     """PQ quality measurement — recall@k of ADC top-k against the
     brute-force cosine ground truth (completes the PQ story the way
@@ -3919,20 +4004,19 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # silently rotated 10 green queries out of the gate; this ordering is
 # deliberate and documented). ROUND-5 WINDOW (green-row counts below
 # are as of CORRECTNESS_r04):
-#   tier 1 (12) — never driver-checked (round-5 additions);
+#   tier 1 (13) — never driver-checked (round-5 additions);
 #   tier 2 (14) — exactly one green row (the r4-window class), several
 #                 also changed in r5 (evaluator/walker/LM/JSON-LD);
 #   tier 3 (6)  — implementation CHANGED in r5 regardless of row count
 #                 (IVF assignment rework, evaluator __bypos rework);
 #   tier 4 (12) — two green rows (r3+r4, or r2/r1+r4 for the four
 #                 entries absent from one early round);
-#   tier 5 (6)  — stale rotation, last green row r3: two flagship
-#                 canaries (kg_doc_mentions, kg_doc_cooccur) and the
-#                 FOUR entries still short of three green rows
-#                 (brand_price_rank, events_hourly, link_bestpick,
-#                 events_sessions — red in r1); the remaining 19 r1-r3
-#                 entries (cooccur_parts and dd_exact join them) rotate
-#                 in r6.
+#   tier 5 (5)  — stale rotation, last green row r3: the kg_doc_cooccur
+#                 flagship canary and the FOUR entries still short of
+#                 three green rows (brand_price_rank, events_hourly,
+#                 link_bestpick, events_sessions — red in r1); the
+#                 remaining 20 r1-r3 entries (cooccur_parts, dd_exact,
+#                 kg_doc_mentions join them) rotate in r6.
 # The TAIL (entries 51+) holds only queries with ≥3 green rows
 # (r1+r2+r4, r2+r3+r4, or all four) — every registry entry keeps at
 # least one green driver row on record.
@@ -3951,6 +4035,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ts_weighted_sample": (q_ts_weighted_sample, SQL_TS_WEIGHTED_SAMPLE),
     "kg_snapshot_diff": (q_kg_snapshot_diff, SQL_KG_SNAPSHOT_DIFF),
     "mm_frame_dedup": (q_mm_frame_dedup, SQL_MM_FRAME_DEDUP),
+    "sim_ivfpq_topk": (q_sim_ivfpq_topk, SQL_SIM_IVFPQ_TOPK),
     # --- tier 2: one green row (r4) -------------------------------------
     "dd_contamination": (q_dd_contamination, SQL_DD_CONTAMINATION),
     "sim_ann_recall": (q_sim_ann_recall, SQL_SIM_ANN_RECALL),
@@ -3987,7 +4072,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ts_tfidf_topk": (q_ts_tfidf_topk, SQL_TS_TFIDF_TOPK),
     "ts_stratified_sample": (q_ts_stratified_sample, SQL_TS_STRATIFIED_SAMPLE),
     # --- tier 5: stale rotation (last green row r3) ---------------------
-    "kg_doc_mentions": (q_kg_doc_mentions, SQL_KG_DOC_MENTIONS),
     "kg_doc_cooccur": (q_kg_doc_cooccur, SQL_KG_DOC_COOCCUR),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     # two-green members of the rotation (red in r1, fixed r2): these
@@ -3996,8 +4080,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "link_bestpick": (q_link_bestpick, SQL_LINK_BESTPICK),
     # ==== entries below are OUTSIDE the driver's first-50 window ========
-    # (each ≥3 green driver rows; the 19 r1-r3 entries not yet rotated
+    # (each ≥3 green driver rows; the 20 r1-r3 entries not yet rotated
     # cycle back through the window in r6)
+    "kg_doc_mentions": (q_kg_doc_mentions, SQL_KG_DOC_MENTIONS),
     "dd_exact": (q_dd_exact, SQL_DD_EXACT),
     "cooccur_parts": (q_cooccur_parts, SQL_COOCCUR_PARTS),
     "events_order_check": (q_events_order_check, SQL_EVENTS_ORDER_CHECK),

@@ -531,6 +531,49 @@ def test_pq_trained_codebook_shape_and_determinism(spark):
     assert cb1 == cb2
 
 
+def test_ivfpq_topk_probe_confined_and_monotone(spark):
+    """IVF-ADC (residual PQ): candidates come ONLY from each query's
+    probed cells; recall against brute-force cosine truth is monotone
+    in nprobe; and on a planted-cluster corpus nprobe=1 already
+    recovers same-cluster neighbors (residual codes preserve local
+    order)."""
+    rows = []
+    for j in range(4):
+        for t in range(8):
+            v = [0.0] * 16
+            v[j * 4] = 10.0 + t * 0.1
+            v[j * 4 + 1] = 1.0 + t * 0.05
+            rows.append((j * 10 + t, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [0, 10, 20, 30]
+    cb = similarity.pq_codebook_from_seeds(
+        emb, [0, 1, 10, 11, 20, 21, 30, 31], m=4, dim=16
+    )
+    queries = [2, 12]
+    k = 4
+    truth = {
+        (r["q_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, queries, k=k).collect()
+    }
+
+    def run(nprobe):
+        return similarity.ivfpq_topk(
+            emb, cents, cb, queries, k=k, nprobe=nprobe, dim=16
+        ).collect()
+
+    one = run(1)
+    # probe confinement: with nprobe=1 every candidate shares the
+    # query's own cluster cell on this planted corpus
+    for r in one:
+        assert r["cell"] == (r["q_id"] // 10) * 10
+    rec1 = len(truth & {(r["q_id"], r["neighbor_id"]) for r in one}) / len(truth)
+    rec4 = len(
+        truth & {(r["q_id"], r["neighbor_id"]) for r in run(4)}
+    ) / len(truth)
+    assert rec4 >= rec1
+    assert rec1 >= 0.75  # same-cluster neighbors recovered from residual codes
+
+
 def test_ivf_probe_topk_recall_monotone(spark):
     """nprobe is the IVF recall lever: nprobe=2 recall >= nprobe=1, and
     probing every cell equals brute force exactly (same ranked rows)."""
