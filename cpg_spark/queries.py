@@ -3716,6 +3716,64 @@ FROM n
 """
 
 
+def q_kg_frontend_dispatch(spark, sf_dir):
+    """Per-row frontend dispatch under the oracle gate
+    (extract.extracted_text over a content_type column — the
+    Language-registry / compilation-db analog): one fixture corpus
+    carries all three formats cycling by doc_id — html (article
+    extraction), markdown (heading stripped, emphasis unwrapped, link
+    collapsed to its text), and an UNKNOWN type that falls back to
+    plain decode (skip-don't-fail). The oracle constructs the EXPECTED
+    extracted bytes directly from the fixture fields (a golden), so
+    the Spark side's parse of each frontend is what's checked — the
+    north-rule byte-identity invariant, cross-frontend."""
+    from .operators import extract
+
+    docs = t_par(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    mod = F.col("doc_id") % 3
+    ct = (
+        F.when(mod == 0, F.lit("text/html"))
+        .when(mod == 1, F.lit("text/markdown"))
+        .otherwise(F.lit("application/octet-stream"))
+    )
+    raw = (
+        F.when(
+            mod == 0,
+            F.concat(
+                F.lit("<html><body><article>"), F.col("text"),
+                F.lit("</article></body></html>"),
+            ),
+        )
+        .when(
+            mod == 1,
+            F.concat(
+                F.lit("## Doc "), d, F.lit("\n"), F.col("text"),
+                F.lit(" *see* [more](http://example.invalid/x)"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("plain "), F.col("text")))
+    )
+    pages = docs.select(
+        F.concat(F.lit("doc:"), d).alias("url"),
+        F.col("lang"),
+        F.encode(raw, "UTF-8").alias("html"),
+        ct.alias("content_type"),
+    )
+    return extract.extracted_text(pages)
+
+
+SQL_KG_FRONTEND_DISPATCH = """
+SELECT 'doc:' || doc_id AS url, lang,
+       CASE CAST(doc_id % 3 AS INT)
+         WHEN 0 THEN text
+         WHEN 1 THEN 'Doc ' || doc_id || chr(10) || text || ' see more'
+         ELSE 'plain ' || text
+       END AS text
+FROM documents
+"""
+
+
 def q_kg_fuse_sources(spark, sf_dir):
     """Source fusion with functional-property resolution
     (materialize.resolve_functional): the KG now has two frontends
@@ -4004,19 +4062,23 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # silently rotated 10 green queries out of the gate; this ordering is
 # deliberate and documented). ROUND-5 WINDOW (green-row counts below
 # are as of CORRECTNESS_r04):
-#   tier 1 (13) — never driver-checked (round-5 additions);
+#   tier 1 (14) — never driver-checked (round-5 additions);
 #   tier 2 (14) — exactly one green row (the r4-window class), several
 #                 also changed in r5 (evaluator/walker/LM/JSON-LD);
 #   tier 3 (6)  — implementation CHANGED in r5 regardless of row count
 #                 (IVF assignment rework, evaluator __bypos rework);
 #   tier 4 (12) — two green rows (r3+r4, or r2/r1+r4 for the four
 #                 entries absent from one early round);
-#   tier 5 (5)  — stale rotation, last green row r3: the kg_doc_cooccur
-#                 flagship canary and the FOUR entries still short of
-#                 three green rows (brand_price_rank, events_hourly,
-#                 link_bestpick, events_sessions — red in r1); the
-#                 remaining 20 r1-r3 entries (cooccur_parts, dd_exact,
-#                 kg_doc_mentions join them) rotate in r6.
+#   tier 5 (4)  — the FOUR entries still short of three green rows
+#                 (brand_price_rank, events_hourly, link_bestpick,
+#                 events_sessions — red in r1, windowed until
+#                 thrice-green). The flagship canaries all rotated to
+#                 the tail this round: kg_doc_cooccur's exact
+#                 computation is re-verified THROUGH the r5 window
+#                 anyway (kg_pagerank and kg_snapshot_diff embed its
+#                 SQL as their edge CTE), and entry() smoke-runs it
+#                 every round; the remaining 21 r1-r3 entries rotate
+#                 in r6.
 # The TAIL (entries 51+) holds only queries with ≥3 green rows
 # (r1+r2+r4, r2+r3+r4, or all four) — every registry entry keeps at
 # least one green driver row on record.
@@ -4036,6 +4098,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kg_snapshot_diff": (q_kg_snapshot_diff, SQL_KG_SNAPSHOT_DIFF),
     "mm_frame_dedup": (q_mm_frame_dedup, SQL_MM_FRAME_DEDUP),
     "sim_ivfpq_topk": (q_sim_ivfpq_topk, SQL_SIM_IVFPQ_TOPK),
+    "kg_frontend_dispatch": (q_kg_frontend_dispatch, SQL_KG_FRONTEND_DISPATCH),
     # --- tier 2: one green row (r4) -------------------------------------
     "dd_contamination": (q_dd_contamination, SQL_DD_CONTAMINATION),
     "sim_ann_recall": (q_sim_ann_recall, SQL_SIM_ANN_RECALL),
@@ -4072,7 +4135,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ts_tfidf_topk": (q_ts_tfidf_topk, SQL_TS_TFIDF_TOPK),
     "ts_stratified_sample": (q_ts_stratified_sample, SQL_TS_STRATIFIED_SAMPLE),
     # --- tier 5: stale rotation (last green row r3) ---------------------
-    "kg_doc_cooccur": (q_kg_doc_cooccur, SQL_KG_DOC_COOCCUR),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     # two-green members of the rotation (red in r1, fixed r2): these
     # MUST re-enter the window before they may ever hold tail slots
@@ -4080,8 +4142,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "link_bestpick": (q_link_bestpick, SQL_LINK_BESTPICK),
     # ==== entries below are OUTSIDE the driver's first-50 window ========
-    # (each ≥3 green driver rows; the 20 r1-r3 entries not yet rotated
+    # (each ≥3 green driver rows; the 21 r1-r3 entries not yet rotated
     # cycle back through the window in r6)
+    "kg_doc_cooccur": (q_kg_doc_cooccur, SQL_KG_DOC_COOCCUR),
     "kg_doc_mentions": (q_kg_doc_mentions, SQL_KG_DOC_MENTIONS),
     "dd_exact": (q_dd_exact, SQL_DD_EXACT),
     "cooccur_parts": (q_cooccur_parts, SQL_COOCCUR_PARTS),

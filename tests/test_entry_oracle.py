@@ -44,7 +44,7 @@ def test_entry_returns_rows(spark):
         "pass_stats_agg",
         "link_bestpick",
         "canon_cc",
-        "cooccur_parts", "dd_exact", "kg_doc_mentions",
+        "cooccur_parts", "dd_exact", "kg_doc_mentions", "kg_doc_cooccur",
         "events_sessions",
         "kg_doc_cooccur",
         "ts_lang_id",
@@ -78,7 +78,7 @@ def test_registry_window_schedule():
         "dd_anchor_dedup", "sim_pq_trained_cmp", "ts_gopher_quality",
         "kg_pagerank", "kg_url_curation", "kg_fuse_sources",
         "ts_weighted_sample", "kg_snapshot_diff", "mm_frame_dedup",
-        "sim_ivfpq_topk",
+        "sim_ivfpq_topk", "kg_frontend_dispatch",
     }
     assert never_checked <= window, never_checked - window
     once_checked = {
@@ -106,7 +106,7 @@ def test_registry_window_schedule():
         "topk_customers", "order_supp_set", "hotspot_scan",
         "events_order_check", "eog_order_edges", "reach_bfs",
         "nationkey_union", "unresolved_refs", "region_revenue",
-        "cooccur_parts", "dd_exact", "kg_doc_mentions",
+        "cooccur_parts", "dd_exact", "kg_doc_mentions", "kg_doc_cooccur",
         "events_order_check",
         "kg_doc_chunks", "ts_token_stats", "ts_quality", "ts_lang_id",
         "ts_fingerprint", "dd_minhash", "dd_lsh_pairs", "dd_jaccard",
