@@ -378,3 +378,52 @@ def test_pagerank_matches_independent_replication(spark):
         for x in pagerank(edges, n_iter=5, weight_col="w", ordered=False).collect()
     }
     assert all(abs(fast[v] - r[v]) < 1e-12 for v in nodes)
+
+
+def test_pagerank_randomized_differential(spark):
+    """Randomized differential (the dfa/evaluator pattern): pagerank vs
+    an independent pure-python power iteration with the same fold order
+    on seeded random weighted digraphs — exact double equality, rank
+    mass 1, every node present."""
+    import random
+
+    from cpg_spark.operators.graphrank import pagerank
+
+    rng = random.Random(20260817)
+    for trial in range(3):
+        n_nodes = rng.randint(4, 9)
+        labels = [f"n{i}" for i in range(n_nodes)]
+        raw = set()
+        for _ in range(rng.randint(n_nodes, n_nodes * 2)):
+            s, d = rng.sample(labels, 2)
+            raw.add((s, d, rng.randint(1, 4)))
+        raw = sorted(raw)
+        edges = spark.createDataFrame(raw, "src string, dst string, w long")
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(edges, n_iter=4, weight_col="w").collect()
+        }
+
+        nodes = sorted({x for e in raw for x in e[:2]})
+        n = len(nodes)
+        out_w: dict = {}
+        for s, _, w in raw:
+            out_w[s] = out_w.get(s, 0) + w
+        r = {v: 1.0 / n for v in nodes}
+        for _ in range(4):
+            contribs = {v: [] for v in nodes}
+            for s, d, w in raw:
+                contribs[d].append((s, r[s] * w / out_w[s]))
+            dang = 0.0
+            for v in nodes:
+                if v not in out_w:
+                    dang = dang + r[v]
+            nxt = {}
+            for v in nodes:
+                acc = 0.0
+                for _, c in sorted(contribs[v]):
+                    acc = acc + c
+                nxt[v] = (1.0 - 0.85) / n + 0.85 * (acc + dang / n)
+            r = nxt
+        assert got == r, f"trial {trial}"
+        assert abs(sum(got.values()) - 1.0) < 1e-9

@@ -730,3 +730,55 @@ def test_lm_bigram_score_vocab_cap_oov(spark):
     full = {r["doc_id"]: r for r in lm_bigram_score(docs).collect()}
     assert abs(full[0]["score"] - 1 / 2) < 1e-12
     assert full[0]["score"] != capped[0]["score"]
+
+
+def test_anchor_chunk_dedup_randomized_differential(spark):
+    """Randomized differential: anchor_chunk_dedup vs a pure-python
+    replication (anchor selection, slicing, corpus-first rank, ordered
+    reassembly) over seeded random corpora with planted duplications at
+    random offsets."""
+    import random
+
+    from cpg_spark.functions.hashing import char_poly_hash_py
+    from cpg_spark.operators.dedup import anchor_chunk_dedup
+
+    rng = random.Random(20260817)
+    vocab = [f"w{i}" for i in range(30)]
+    m = 4
+    for trial in range(3):
+        passage = [rng.choice(vocab) for _ in range(rng.randint(15, 30))]
+        docs_toks = []
+        for did in range(5):
+            pre = [rng.choice(vocab) for _ in range(rng.randint(0, 6))]
+            post = [rng.choice(vocab) for _ in range(rng.randint(0, 6))]
+            body = passage if did % 2 == 0 else [
+                rng.choice(vocab) for _ in range(rng.randint(5, 20))
+            ]
+            docs_toks.append((did, pre + body + post))
+        docs = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in docs_toks],
+            "doc_id long, text string",
+        )
+
+        def chunks(toks):
+            ss = [
+                i for i in range(len(toks))
+                if i == 0 or char_poly_hash_py(toks[i]) % m == 0
+            ]
+            ee = ss[1:] + [len(toks)]
+            return [" ".join(toks[a:b]) for a, b in zip(ss, ee)]
+
+        first: dict = {}
+        for did, toks in docs_toks:
+            for ci, c in enumerate(chunks(toks)):
+                first.setdefault(c, (did, ci))
+        exp = {}
+        for did, toks in docs_toks:
+            cs = chunks(toks)
+            keep = [c for ci, c in enumerate(cs) if first[c] == (did, ci)]
+            exp[did] = (" ".join(keep), len(cs), len(cs) - len(keep))
+        got = {
+            r["doc_id"]: (r["text_deduped"], r["n_chunks"], r["n_dropped"])
+            for r in anchor_chunk_dedup(docs, anchor_mod=m).collect()
+        }
+        assert got == exp, f"trial {trial}"
