@@ -72,10 +72,14 @@ HEADLINE = [
     "kg_url_curation",
     "kg_jsonld_graph",
     # round-5 late additions: multi-source fusion, graph snapshot diff,
-    # and quality-temperature resampling
+    # quality-temperature resampling, frame-level dedup, the composed
+    # IVF-ADC residual-PQ index, and the multi-frontend dispatch golden
     "kg_fuse_sources",
     "kg_snapshot_diff",
     "ts_weighted_sample",
+    "mm_frame_dedup",
+    "sim_ivfpq_topk",
+    "kg_frontend_dispatch",
 ]
 
 

@@ -494,13 +494,16 @@ def pq_encode(
     codebook: list[list[list[float]]],
     dim: int,
     id_col: str = "vec_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode every vector as m one-byte codes: per subspace, the argmin
     squared-L2 centroid (array_min over (dist, code) structs — ties
     break to the lower code). Pure Column expressions — the codebook
     enters as literals, nothing shuffles. Returns (vec_id, codes
     array<int>): dim·8 bytes of float become m bytes, the 32x
-    compression that makes billion-vector ANN RAM-resident."""
+    compression that makes billion-vector ANN RAM-resident. keep_cols
+    pass extra columns through the projection (ivfpq_topk keeps `cell`
+    so the assignment plan is never evaluated twice)."""
     m = len(codebook)
     sub = dim // m
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -516,7 +519,11 @@ def pq_encode(
             ]
         )
         code_cols.append(F.array_min(cands).getField("c"))
-    return emb.select(F.col(id_col).alias("vec_id"), F.array(*code_cols).alias("codes"))
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        *[F.col(c) for c in keep_cols],
+        F.array(*code_cols).alias("codes"),
+    )
 
 
 def pq_adc_topk(
@@ -682,9 +689,7 @@ def ivfpq_topk(
             lambda a, b: a - b,
         ),
     )
-    codes = pq_encode(resid, codebook, dim, id_col).join(
-        assigned.select(id_col, "cell"), id_col
-    )
+    codes = pq_encode(resid, codebook, dim, id_col, keep_cols=("cell",))
 
     # --- queries: probe ranking + per-(query, cell) residual LUTs,
     # all driver-side floats in the exact fold order of the twins
