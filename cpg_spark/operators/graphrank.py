@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import char_poly_hash_col
+
 
 def _ordered_sum(key: str, val: str) -> Column:
     """Sequential left fold of `val` over rows sorted by `key` — the
@@ -35,6 +37,38 @@ def _ordered_sum(key: str, val: str) -> Column:
     )
 
 
+def salted_ordered_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    key: str,
+    val: str,
+    out: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Heavy-hitter-safe deterministic float sum: fold `val` per
+    (group, salt) sorted by `key`, then fold the ≤n_salts partials in
+    salt order. The salt is content-derived (char_poly_hash(key) mod
+    n_salts — replayable in the DuckDB twin), so the grouping of the
+    additions is a pure function of the DATA, never of partitioning:
+    same input → bit-identical output at any parallelism, and no
+    reducer ever collects more than ~|group|/n_salts items (a hub
+    entity with 10^8 in-edges folds as 10^8/n_salts-sized partials —
+    raise n_salts with the expected hub size).
+
+    n_salts=1 degenerates to the single flat fold (bit-equal to
+    _ordered_sum — the r5 contract; the pytest asserts it)."""
+    if n_salts <= 1:
+        return df.groupBy(*group_cols).agg(_ordered_sum(key, val).alias(out))
+    salted = df.withColumn(
+        "__psalt",
+        (char_poly_hash_col(F.col(key).cast("string")) % n_salts).cast("int"),
+    )
+    p1 = salted.groupBy(*group_cols, "__psalt").agg(
+        _ordered_sum(key, val).alias("__pp")
+    )
+    return p1.groupBy(*group_cols).agg(_ordered_sum("__psalt", "__pp").alias(out))
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 5,
@@ -43,6 +77,7 @@ def pagerank(
     dst_col: str = "dst",
     weight_col: str | None = None,
     ordered: bool = True,
+    ordered_salts: int = 16,
     cache_static: bool = True,
     checkpoint_dir: str | None = None,
     truncate_lineage: bool = True,
@@ -64,7 +99,14 @@ def pagerank(
     1-row aggregate broadcast in. N is a single count() — the one
     driver scalar, needed for the teleport literal. With
     ordered=False the per-dst aggregation is a plain combinable sum
-    (use at web scale); ordered=True is the oracle-parity fold.
+    (use at web scale); ordered=True is the oracle-parity fold,
+    SALTED two-phase since r6 (salted_ordered_sum, `ordered_salts`
+    partials per dst): even a hub entity with 10^8 in-edges never
+    lands its whole in-neighbor list on one reducer, and the salt is
+    content-derived so the result stays bit-deterministic at any
+    parallelism (ordered_salts=1 reproduces the r5 flat fold
+    bit-exactly — pytest-asserted). The dangling-mass fold is salted
+    the same way.
 
     cache_static (default on) persists the edge and node frames once:
     every iteration re-reads them, and without the cache a deep edge
@@ -120,12 +162,19 @@ def pagerank(
             (F.col("rank") * F.col("__w") / F.col("__ow")).alias("__c"),
         )
         if ordered:
-            summed = contribs.groupBy("node").agg(
-                _ordered_sum("__s", "__c").alias("__in")
+            summed = salted_ordered_sum(
+                contribs, ["node"], "__s", "__c", "__in", ordered_salts
             )
-            dangling = ranks.join(
-                out_w.withColumnRenamed("__s", "node"), "node", "left_anti"
-            ).agg(F.coalesce(_ordered_sum("node", "rank"), F.lit(0.0)).alias("__dm"))
+            dangling = salted_ordered_sum(
+                ranks.join(
+                    out_w.withColumnRenamed("__s", "node"), "node", "left_anti"
+                ),
+                [],
+                "node",
+                "rank",
+                "__dm",
+                ordered_salts,
+            )
         else:
             summed = contribs.groupBy("node").agg(F.sum("__c").alias("__in"))
             dangling = ranks.join(
@@ -147,4 +196,10 @@ def pagerank(
             ),
             checkpoint_dir,
         )
+    if cache_static:
+        # the returned ranks frame is already (eagerly) checkpointed and
+        # no longer depends on the statics — release them so repeated
+        # calls in a long-lived session don't leak cached partitions
+        for df in (e, nodes, out_w):
+            df.unpersist()
     return ranks

@@ -3628,7 +3628,12 @@ def _fold_sql(key: str, val: str) -> str:
     )
 
 
-def _pagerank_sql(n_iter: int = 5) -> str:
+def _pagerank_sql(n_iter: int = 5, n_salts: int = 16) -> str:
+    # salted two-phase folds (graphrank.salted_ordered_sum): the salt is
+    # char_poly_hash(key) % n_salts — content-derived, so DuckDB replays
+    # the exact grouping of the float additions
+    def _salt(col: str) -> str:
+        return f"({char_poly_hash_sql(col)} % {n_salts})"
     ctes = [
         f"cooc AS ({SQL_KG_DOC_COOCCUR.strip()})",
         "edges AS (SELECT subj AS src, obj AS dst, n_evidence AS w FROM cooc"
@@ -3646,16 +3651,28 @@ def _pagerank_sql(n_iter: int = 5) -> str:
     for i in range(n_iter):
         ctes.append(
             f"c{i} AS (SELECT e.dst AS node, e.src AS src, "
-            f"r.rank * e.w / o.ow AS c FROM edges e "
+            f"r.rank * e.w / o.ow AS c, {_salt('e.src')} AS salt FROM edges e "
             f"JOIN r{i} r ON r.node = e.src JOIN outw o ON o.src = e.src)"
         )
         ctes.append(
-            f"s{i} AS (SELECT node, {_fold_sql('src', 'c')} AS insum "
-            f"FROM c{i} GROUP BY node)"
+            f"sp{i} AS (SELECT node, salt, {_fold_sql('src', 'c')} AS p "
+            f"FROM c{i} GROUP BY node, salt)"
         )
         ctes.append(
-            f"d{i} AS (SELECT COALESCE({_fold_sql('node', 'rank')}, 0.0) AS dm "
+            f"s{i} AS (SELECT node, {_fold_sql('salt', 'p')} AS insum "
+            f"FROM sp{i} GROUP BY node)"
+        )
+        ctes.append(
+            f"dn{i} AS (SELECT node, rank, {_salt('node')} AS salt "
             f"FROM r{i} WHERE node NOT IN (SELECT src FROM outw))"
+        )
+        ctes.append(
+            f"dp{i} AS (SELECT salt, {_fold_sql('node', 'rank')} AS p "
+            f"FROM dn{i} GROUP BY salt)"
+        )
+        ctes.append(
+            f"d{i} AS (SELECT COALESCE({_fold_sql('salt', 'p')}, 0.0) AS dm "
+            f"FROM dp{i})"
         )
         ctes.append(
             f"r{i + 1} AS (SELECT n.node, "

@@ -333,11 +333,57 @@ def test_bfs_with_pred_builds_shortest_path_tree(spark):
         assert cur == 0 and steps == r["hops"], (n, steps, r["hops"])
 
 
+def _salted_fold(items, n_salts):
+    """Pure-python twin of graphrank.salted_ordered_sum: fold (key, val)
+    pairs per content-salt in key order, then fold the partials in salt
+    order. n_salts=1 is the flat sequential fold."""
+    from cpg_spark.functions.hashing import char_poly_hash_py
+
+    if n_salts <= 1:
+        acc = 0.0
+        for _, v in sorted(items):
+            acc = acc + v
+        return acc
+    parts: dict = {}
+    for k, v in items:
+        parts.setdefault(char_poly_hash_py(str(k)) % n_salts, []).append((k, v))
+    acc = 0.0
+    for s in sorted(parts):
+        p = 0.0
+        for _, v in sorted(parts[s]):
+            p = p + v
+        acc = acc + p
+    return acc
+
+
+def _pagerank_py(raw, n_iter, n_salts):
+    """Independent pure-python power iteration with the salted fold."""
+    nodes = sorted({x for e in raw for x in e[:2]})
+    n = len(nodes)
+    out_w: dict = {}
+    for s, _, w in raw:
+        out_w[s] = out_w.get(s, 0) + w
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        contribs: dict = {v: [] for v in nodes}
+        for s, d, w in raw:
+            contribs[d].append((s, r[s] * w / out_w[s]))
+        dang = _salted_fold(
+            [(v, r[v]) for v in nodes if v not in out_w], n_salts
+        )
+        r = {
+            v: (1.0 - 0.85) / n
+            + 0.85 * (_salted_fold(contribs[v], n_salts) + dang / n)
+            for v in nodes
+        }
+    return r
+
+
 def test_pagerank_matches_independent_replication(spark):
     """Weighted PageRank with a dangling node against an independent
-    pure-python power iteration using the SAME sequential fold order
-    (sorted by contributing src / node id) — bit-identical doubles, and
-    total rank mass stays 1."""
+    pure-python power iteration using the SAME salted two-phase fold
+    (content-salt partials folded in salt order) — bit-identical
+    doubles, and total rank mass stays 1."""
     from cpg_spark.operators.graphrank import pagerank
 
     raw = [("a", "b", 1), ("a", "c", 2), ("b", "c", 1), ("d", "a", 1)]
@@ -346,38 +392,35 @@ def test_pagerank_matches_independent_replication(spark):
         r["node"]: r["rank"]
         for r in pagerank(edges, n_iter=5, weight_col="w").collect()
     }
-
-    nodes = sorted({x for e in raw for x in e[:2]})
-    n = len(nodes)
-    out_w = {}
-    for s, _, w in raw:
-        out_w[s] = out_w.get(s, 0) + w
-    r = {v: 1.0 / n for v in nodes}
-    for _ in range(5):
-        contribs = {v: [] for v in nodes}
-        for s, d, w in raw:
-            contribs[d].append((s, r[s] * w / out_w[s]))
-        dangling = 0.0
-        for v in nodes:
-            if v not in out_w:
-                dangling = dangling + r[v]
-        nxt = {}
-        for v in nodes:
-            acc = 0.0
-            for _, c in sorted(contribs[v]):
-                acc = acc + c
-            nxt[v] = (1.0 - 0.85) / n + 0.85 * (acc + dangling / n)
-        r = nxt
-
-    assert got == r  # exact double equality — same fold order
+    r = _pagerank_py(raw, 5, 16)
+    assert got == r  # exact double equality — same fold grouping + order
     assert abs(sum(got.values()) - 1.0) < 1e-12
+
+    # ordered_salts=1 reproduces the r5 flat fold bit-exactly (the
+    # degenerate-equivalence contract of salted_ordered_sum)
+    flat = {
+        x["node"]: x["rank"]
+        for x in pagerank(
+            edges, n_iter=5, weight_col="w", ordered_salts=1
+        ).collect()
+    }
+    assert flat == _pagerank_py(raw, 5, 1)
+
+    # the salted fold is partitioning-invariant: same bits at width 1
+    repart = {
+        x["node"]: x["rank"]
+        for x in pagerank(
+            edges.repartition(1), n_iter=5, weight_col="w"
+        ).collect()
+    }
+    assert repart == got
 
     # ordered=False (the at-scale combinable mode) agrees to float noise
     fast = {
         x["node"]: x["rank"]
         for x in pagerank(edges, n_iter=5, weight_col="w", ordered=False).collect()
     }
-    assert all(abs(fast[v] - r[v]) < 1e-12 for v in nodes)
+    assert all(abs(fast[v] - r[v]) < 1e-12 for v in r)
 
 
 def test_pagerank_randomized_differential(spark):
@@ -403,27 +446,6 @@ def test_pagerank_randomized_differential(spark):
             r["node"]: r["rank"]
             for r in pagerank(edges, n_iter=4, weight_col="w").collect()
         }
-
-        nodes = sorted({x for e in raw for x in e[:2]})
-        n = len(nodes)
-        out_w: dict = {}
-        for s, _, w in raw:
-            out_w[s] = out_w.get(s, 0) + w
-        r = {v: 1.0 / n for v in nodes}
-        for _ in range(4):
-            contribs = {v: [] for v in nodes}
-            for s, d, w in raw:
-                contribs[d].append((s, r[s] * w / out_w[s]))
-            dang = 0.0
-            for v in nodes:
-                if v not in out_w:
-                    dang = dang + r[v]
-            nxt = {}
-            for v in nodes:
-                acc = 0.0
-                for _, c in sorted(contribs[v]):
-                    acc = acc + c
-                nxt[v] = (1.0 - 0.85) / n + 0.85 * (acc + dang / n)
-            r = nxt
+        r = _pagerank_py(raw, 4, 16)
         assert got == r, f"trial {trial}"
         assert abs(sum(got.values()) - 1.0) < 1e-9
