@@ -57,8 +57,14 @@ def salted_count(
 ) -> DataFrame:
     """Two-phase count (explicit salting demo; Spark's partial agg makes
     this equivalent for plain counts, but the shape generalizes to any
-    re-aggregable UDAF)."""
-    salted = with_salt(df.select(*keys), n_salts)
+    re-aggregable UDAF).
+
+    The salt hashes ALL columns of `df`: pass at least one
+    row-distinguishing column beyond the keys, or every row of a hot
+    key lands in one salt class and phase 1 degenerates to the plain
+    groupBy (still correct — map-side partial aggregation is what
+    absorbs plain-count skew either way)."""
+    salted = with_salt(df, n_salts)
     phase1 = salted.groupBy(*keys, "__salt").agg(F.count(F.lit(1)).alias("__c"))
     return phase1.groupBy(*keys).agg(F.sum("__c").cast("long").alias(out))
 

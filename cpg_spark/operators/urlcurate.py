@@ -61,12 +61,20 @@ def normalize_url(url: Column) -> Column:
         lambda p: (F.length(p) > 0) & ~_is_tracking(p),
     )
     qs = F.array_join(F.array_sort(keep), "&")
-    return F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        path,
-        F.when(F.length(qs) > 0, F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    # scheme-less / malformed input (open-web reality): the scheme regex
+    # matches nothing and the hostport regex would eat the first path
+    # segment as host, minting identities like '://foo' — pass such URLs
+    # through unchanged instead of mis-canonicalizing them
+    return F.when(F.length(scheme) == 0, url).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(F.length(qs) > 0, F.concat(F.lit("?"), qs)).otherwise(
+                F.lit("")
+            ),
+        )
     )
 
 
@@ -85,6 +93,9 @@ def domain_cap(
     url_col: str = "url",
     id_col: str = "doc_id",
     cap: int = 10,
+    shed_factor: int = 100,
+    n_salts: int = 16,
+    shed: bool = True,
 ) -> DataFrame:
     """Per-domain frequency cap: keep at most `cap` documents per
     domain, chosen by content hash of the normalized URL (ties to the
@@ -92,13 +103,27 @@ def domain_cap(
     every input row with (url_norm, domain, dom_rank, kept): the drop
     decision stays with the caller (accounting, never silent).
 
-    Scale shape: normalization is a scan projection; the rank is one
-    shuffle keyed by domain. A mega-domain is exactly the skewed-window
-    case — cap selection is NOT re-aggregable as written, so at
-    web scale pre-filter with an approximate per-domain count (salted,
-    operators/skew.py) to shed the >100·cap overflow before the exact
-    window; the window then runs on bounded partitions."""
+    Scale shape: normalization is a scan projection; the exact rank is
+    one shuffle keyed by domain — the skewed-window case when a
+    mega-domain holds 10^8+ pages. The shed path (default on) bounds
+    it: a salted two-phase per-domain count (operators/skew.py,
+    combinable — no reducer sees a whole hot key) finds domains over
+    shed_factor·cap rows; inside those, a per-(domain, salt) window —
+    n_salts-way parallel, each partition ~|domain|/n_salts rows —
+    keeps only the per-salt top-`cap` as candidates and sheds the
+    rest BEFORE the exact window. The kept-set is provably identical:
+    any global top-cap row has at most cap-1 rows ahead of it in any
+    subset, so per-salt rank ≤ cap; and a shed row has ≥ cap smaller
+    rows in its own salt class, so its global rank is > cap
+    (pytest-asserted against the unshed path on a planted
+    mega-domain). Shed rows return dom_rank=NULL (provably > cap,
+    exact value not computed), kept=false; candidate rows beyond the
+    cap carry a rank that is exact for ranks ≤ cap and a
+    lower-bound > cap otherwise. Domains under the threshold — and
+    every row when shed=False — get the fully exact rank."""
     from pyspark.sql import Window
+
+    from .skew import salted_count
 
     u = normalize_url(F.col(url_col))
     base = docs.select(
@@ -107,9 +132,43 @@ def domain_cap(
         url_domain(u).alias("domain"),
     ).withColumn("__h", char_poly_hash_col(F.col("url_norm")))
     w = Window.partitionBy("domain").orderBy("__h", id_col)
-    return base.select(
+
+    def exact(cand: DataFrame) -> DataFrame:
+        return cand.select(
+            id_col,
+            "url_norm",
+            "domain",
+            F.row_number().over(w).alias("dom_rank"),
+        ).withColumn("kept", F.col("dom_rank") <= cap)
+
+    if not shed:
+        return exact(base)
+    overflow = (
+        salted_count(
+            # url_norm is the row-distinguishing salt source: a
+            # mega-domain's count spreads across all salt classes
+            base.select("domain", "url_norm"),
+            ["domain"],
+            out="__n",
+            n_salts=n_salts,
+        )
+        .filter(F.col("__n") > shed_factor * cap)
+        .select("domain", F.lit(True).alias("__over"))
+    )
+    b = base.join(F.broadcast(overflow), "domain", "left")
+    normal = b.filter(F.col("__over").isNull()).drop("__over")
+    heavy = b.filter(F.col("__over").isNotNull()).drop("__over")
+    w_salt = Window.partitionBy("domain", "__salt").orderBy("__h", id_col)
+    ranked = heavy.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64("url_norm", id_col), F.lit(n_salts)).cast("int"),
+    ).withColumn("__sr", F.row_number().over(w_salt))
+    survivors = ranked.filter(F.col("__sr") <= cap).drop("__salt", "__sr")
+    shed_rows = ranked.filter(F.col("__sr") > cap).select(
         id_col,
         "url_norm",
         "domain",
-        F.row_number().over(w).alias("dom_rank"),
-    ).withColumn("kept", F.col("dom_rank") <= cap)
+        F.lit(None).cast("int").alias("dom_rank"),
+        F.lit(False).alias("kept"),
+    )
+    return exact(normal.unionByName(survivors)).unionByName(shed_rows)
