@@ -5,9 +5,15 @@ Decode depth is tiered by what the environment allows:
   * HEADER decode is REAL, stdlib-only (struct over the container
     formats): PNG/GIF/BMP/JPEG dimensions, WAV sample rate / channels /
     duration. No PIL/ffmpeg needed.
-  * PIXEL/SAMPLE decode stays a clearly-marked stub
-    (decode_pixels_stub): the image/audio codec libraries are not in
-    this container; a real deployment swaps that one function body.
+  * PIXEL/SAMPLE decode is REAL for the uncompressed containers the
+    stdlib can carry (decode_values / pixel_stats): 24-bit BI_RGB BMP
+    pixel rows (stride padding, BGR order, bottom-up layout) and
+    8/16-bit PCM WAV samples, vectorized with numpy over the raw
+    bytes.
+  * COMPRESSED codecs (PNG/JPEG/GIF pixel data, lossy audio) stay a
+    clearly-marked stub (decode_pixels_stub / error
+    'codec_unavailable'): those libraries are not in this container;
+    a real deployment swaps that one function body.
 The Spark-side plumbing — schema, partitioning, UDF signature, Arrow
 batch shape — is real and tested either way.
 
@@ -27,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -171,13 +178,159 @@ def _wav_params(payload: bytes) -> dict:
 
 
 def decode_pixels_stub(payloads: pd.Series) -> pd.Series:
-    """PIXEL decode stub — the one function a real deployment replaces
-    with PIL.Image.open / an audio codec. The container lacks those
-    libraries, so this raises by contract rather than fake pixels."""
+    """COMPRESSED-codec decode stub — the one function a real
+    deployment replaces with PIL.Image.open / an audio codec. The
+    container lacks those libraries, so this raises by contract rather
+    than fake pixels. Uncompressed BMP pixels and WAV PCM samples ARE
+    decoded for real — see decode_values / pixel_stats."""
     raise NotImplementedError(
-        "pixel/sample decode requires PIL/ffmpeg (absent in this "
-        "environment); header-level decode is real — see parse_header"
+        "compressed-codec decode (PNG/JPEG/GIF pixels, lossy audio) "
+        "requires PIL/ffmpeg (absent in this environment); header "
+        "decode (parse_header) and uncompressed BMP/WAV value decode "
+        "(decode_values) are real"
     )
+
+
+PIXEL_STATS = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_values", LongType()),
+        StructField("sum_v", LongType()),
+        StructField("min_v", IntegerType()),
+        StructField("max_v", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("mean_v", DoubleType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def decode_values(payload: bytes | None) -> dict:
+    """REAL pixel/sample decode for the uncompressed containers the
+    stdlib + numpy can carry — no PIL, no ffmpeg:
+
+      BMP  — BI_RGB (compression 0) 24-bit only: honors the pixel-data
+             offset, 4-byte row stride padding, bottom-up vs top-down
+             (negative height) layout, and BGR channel order. Emits
+             per-channel integer sums (sum_r/g/b), total sum, min/max
+             over all channel bytes.
+      WAV  — PCM (format 1), 16-bit signed LE or 8-bit unsigned, any
+             channel count (samples flattened in file order). Emits
+             sum/min/max over raw sample values (8-bit reported raw
+             0..255 — the container convention, documented not
+             rescaled).
+
+    Integer sums are EXACT (no float accumulation), so the stats are
+    oracle-checkable by replaying the fixture formula in SQL; mean_v
+    is the single division sum_v/n_values — bit-identical in both
+    engines. Compressed codecs return error='codec_unavailable' (the
+    honest remaining stub); malformed containers never raise (the
+    skip-don't-fail frontend contract)."""
+    import numpy as np
+
+    out = {
+        "kind": None, "n_values": None, "sum_v": None, "min_v": None,
+        "max_v": None, "sum_r": None, "sum_g": None, "sum_b": None,
+        "mean_v": None, "error": None,
+    }
+    try:
+        if not payload:
+            out["kind"], out["error"] = "empty", "empty"
+            return out
+        if payload.startswith(b"BM"):
+            out["kind"] = "bmp"
+            if len(payload) < 34:
+                out["error"] = "truncated"
+                return out
+            (data_off,) = struct.unpack("<I", payload[10:14])
+            w, h = struct.unpack("<ii", payload[18:26])
+            (bpp,) = struct.unpack("<H", payload[28:30])
+            (comp,) = struct.unpack("<I", payload[30:34])
+            if comp != 0 or bpp != 24:
+                out["error"] = "codec_unavailable"
+                return out
+            habs = abs(h)
+            stride = ((w * 3 + 3) // 4) * 4
+            need = data_off + habs * stride
+            if w <= 0 or habs == 0 or len(payload) < need:
+                out["error"] = "truncated"
+                return out
+            rows = np.frombuffer(
+                payload, dtype=np.uint8, count=habs * stride, offset=data_off
+            ).reshape(habs, stride)[:, : w * 3]
+            px = rows.reshape(-1, 3).astype(np.int64)  # columns: B, G, R
+            out["n_values"] = int(px.size)
+            out["sum_b"] = int(px[:, 0].sum())
+            out["sum_g"] = int(px[:, 1].sum())
+            out["sum_r"] = int(px[:, 2].sum())
+            out["sum_v"] = out["sum_b"] + out["sum_g"] + out["sum_r"]
+            out["min_v"], out["max_v"] = int(px.min()), int(px.max())
+        elif payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
+            out["kind"] = "wav"
+            i, n = 12, len(payload)
+            fmt_code = bits = None
+            data = None
+            while i + 8 <= n:
+                cid = payload[i : i + 4]
+                (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+                body = payload[i + 8 : i + 8 + size]
+                if cid == b"fmt " and size >= 16:
+                    fmt_code, _ch, _rate, _br, _ba, bits = struct.unpack(
+                        "<HHIIHH", body[:16]
+                    )
+                elif cid == b"data":
+                    data = body
+                i += 8 + size + (size % 2)  # chunks are word-aligned
+            if fmt_code is None or data is None:
+                out["error"] = "truncated"
+                return out
+            if fmt_code != 1 or bits not in (8, 16):
+                out["error"] = "codec_unavailable"
+                return out
+            if bits == 16:
+                vals = np.frombuffer(
+                    data, dtype="<i2", count=len(data) // 2
+                ).astype(np.int64)
+            else:
+                vals = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+            if vals.size == 0:
+                out["error"] = "truncated"
+                return out
+            out["n_values"] = int(vals.size)
+            out["sum_v"] = int(vals.sum())
+            out["min_v"], out["max_v"] = int(vals.min()), int(vals.max())
+        else:
+            out["kind"] = sniff_magic(payload)
+            out["error"] = "codec_unavailable"
+            return out
+        out["mean_v"] = out["sum_v"] / out["n_values"]
+    except Exception:  # malformed container: never fail the batch
+        out["error"] = "malformed"
+    return out
+
+
+def pixel_stats(media: DataFrame) -> DataFrame:
+    """(media_id, payload:binary) -> PIXEL_STATS rows via mapInPandas:
+    real value-level decode (decode_values) of uncompressed BMP pixels
+    and WAV PCM samples, Arrow batches in and out — the quality-gate
+    inputs (brightness/clipping/silence filters) computed without any
+    codec dependency."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fields = [f.name for f in PIXEL_STATS.fields[1:]]
+        for pdf in batches:
+            recs = [decode_values(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    **{f: [r[f] for r in recs] for f in fields},
+                }
+            )
+
+    return media.mapInPandas(extract, PIXEL_STATS)
 
 
 _INT_FIELDS = ("width", "height", "sample_rate", "channels", "duration_ms")

@@ -305,6 +305,84 @@ def test_media_metadata_real_header_decode(spark):
         multimodal.decode_pixels_stub(None)
 
 
+def test_decode_values_real_bmp_wav(spark):
+    """Value-level decode is REAL for uncompressed containers: BMP
+    pixel bytes (stride padding skipped, BGR labeling, bottom-up AND
+    top-down layouts) and WAV PCM samples (16-bit signed, 8-bit raw,
+    stereo flattened, word-alignment pad excluded) — verified against
+    a pure-python replay of the fixture formula; compressed codecs
+    stay an honest error."""
+    import struct as _s
+
+    from cpg_spark.queries import _synth_bmp24, _synth_wav_pcm
+
+    # BMP: formula replay
+    d = 11  # w=6, h=2
+    got = multimodal.decode_values(_synth_bmp24(d))
+    vals = [(d * 31 + j) % 256 for j in range(3 * 6 * 2)]
+    assert got["kind"] == "bmp" and got["error"] is None
+    assert got["n_values"] == len(vals) and got["sum_v"] == sum(vals)
+    assert got["sum_b"] == sum(v for j, v in enumerate(vals) if j % 3 == 0)
+    assert got["sum_r"] == sum(v for j, v in enumerate(vals) if j % 3 == 2)
+    assert (got["min_v"], got["max_v"]) == (min(vals), max(vals))
+    assert got["mean_v"] == sum(vals) / len(vals)
+
+    # top-down BMP (negative height): same multiset of bytes
+    neg = bytearray(_synth_bmp24(d))
+    neg[22:26] = _s.pack("<i", -2)
+    assert multimodal.decode_values(bytes(neg))["sum_v"] == got["sum_v"]
+
+    # WAV 16-bit (odd sample count exercises the alignment pad)
+    d = 1  # n=17 -> 34 data bytes (even); use d=3 -> n=19 odd samples
+    d = 3
+    w16 = multimodal.decode_values(_synth_wav_pcm(d, 16))
+    exp16 = [((d * 7 + i * 13) % 65536) - 32768 for i in range(16 + d % 17)]
+    assert (w16["kind"], w16["error"]) == ("wav", None)
+    assert w16["n_values"] == len(exp16) and w16["sum_v"] == sum(exp16)
+    assert (w16["min_v"], w16["max_v"]) == (min(exp16), max(exp16))
+
+    # WAV 8-bit raw values
+    w8 = multimodal.decode_values(_synth_wav_pcm(d, 8))
+    exp8 = [(d * 7 + i * 13) % 256 for i in range(16 + d % 17)]
+    assert w8["sum_v"] == sum(exp8) and w8["n_values"] == len(exp8)
+
+    # stereo 16-bit: samples flatten in file order
+    frames = [(-5, 7), (100, -100), (32767, -32768)]
+    data = b"".join(_s.pack("<hh", l, r) for l, r in frames)
+    fmt = _s.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body = b"fmt " + _s.pack("<I", 16) + fmt + b"data" + _s.pack(
+        "<I", len(data)
+    ) + data
+    wav = b"RIFF" + _s.pack("<I", 4 + len(body)) + b"WAVE" + body
+    st = multimodal.decode_values(wav)
+    flat = [x for fr in frames for x in fr]
+    assert st["n_values"] == 6 and st["sum_v"] == sum(flat)
+    assert (st["min_v"], st["max_v"]) == (-32768, 32767)
+
+    # honest boundaries: compressed / truncated / unsupported depth
+    assert multimodal.decode_values(b"\x89PNG\r\n\x1a\n" + bytes(16)) == {
+        **{k: None for k in (
+            "n_values", "sum_v", "min_v", "max_v", "sum_r", "sum_g",
+            "sum_b", "mean_v",
+        )},
+        "kind": "png", "error": "codec_unavailable",
+    }
+    assert multimodal.decode_values(b"BM" + bytes(10))["error"] == "truncated"
+    bpp32 = bytearray(_synth_bmp24(4))
+    bpp32[28:30] = _s.pack("<H", 32)
+    assert multimodal.decode_values(bytes(bpp32))["error"] == "codec_unavailable"
+    assert multimodal.decode_values(None)["error"] == "empty"
+
+    # the Spark surface: pixel_stats over an Arrow batch
+    media = spark.createDataFrame(
+        [(1, _synth_bmp24(8)), (2, _synth_wav_pcm(9, 16))],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in multimodal.pixel_stats(media).collect()}
+    assert out[1]["kind"] == "bmp" and out[1]["error"] is None
+    assert out[2]["kind"] == "wav" and out[2]["n_values"] == 16 + 9 % 17
+
+
 def test_sample_frames_roundtrip(spark, docs_df):
     media = multimodal.docs_as_media(docs_df)
     frames = multimodal.sample_frames(media, every_n_bytes=16).collect()
