@@ -178,10 +178,16 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
                           total token chars (each occurrence counted)
       dup_5gram_char_frac chars in 5-grams that occur more than once /
                           total token chars
-      gopher_pass         the conjunction of the published gates:
-                          50 ≤ n ≤ 100000, 3 ≤ mean_word_len ≤ 10,
-                          frac_top_word ≤ 0.2, top_2gram_frac ≤ 0.20,
-                          dup_5gram_char_frac ≤ 0.15
+      gopher_pass         conjunction of a SUBSET of the published
+                          gates (50 ≤ n ≤ 100000, 3 ≤ mean_word_len
+                          ≤ 10, top_2gram_frac ≤ 0.20,
+                          dup_5gram_char_frac ≤ 0.15) plus one CUSTOM
+                          gate (frac_top_word ≤ 0.2, not in Table A1).
+                          This is a compact screen, not the full
+                          MassiveText recipe — the complete published
+                          repetition battery (top 2/3/4-gram, dup
+                          5–10-gram, duplicate line/paragraph) is
+                          gopher_repetition below.
 
     Scale shape: explode → count per (doc, gram) → combinable max/sum
     per doc — one shuffle keyed by doc_id-and-gram, partials combined
@@ -287,6 +293,268 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
             "top_2gram_frac",
             "dup_5gram_char_frac",
             F.coalesce("gopher_pass", F.lit(False)).alias("gopher_pass"),
+        )
+    )
+
+
+# (gate, threshold) pairs of the published MassiveText repetition
+# battery (Rae et al. 2021 Table A1): most-frequent-n-gram coverage for
+# n=2..4, duplicated-n-gram coverage for n=5..10.
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+GOPHER_DUP_LINE_FRAC_MAX = 0.30
+GOPHER_DUP_LINE_CHAR_MAX = 0.20
+GOPHER_DUP_PARA_FRAC_MAX = 0.30
+GOPHER_DUP_PARA_CHAR_MAX = 0.20
+
+
+def gopher_repetition(docs: DataFrame) -> DataFrame:
+    """The COMPLETE published Gopher/MassiveText repetition battery
+    (Rae et al. 2021, Table A1) — the remaining gates gopher_quality's
+    compact screen leaves out, per document:
+
+      dup_line_frac        repeated line occurrences (2nd+ occurrence
+                           of an identical non-empty line) / lines
+      dup_line_char_frac   chars of those repeated occurrences / line chars
+      dup_para_frac        same, over blank-line-separated paragraphs
+      dup_para_char_frac   "
+      top_{2,3,4}gram_frac token chars inside occurrences of the most
+                           frequent n-gram / total token chars —
+                           coverage as a UNION of covered token
+                           positions, so overlapping occurrences never
+                           double-count and the value is a true
+                           fraction ≤ 1 (the paper's "fraction of
+                           characters contained within", exactly —
+                           unlike gopher_quality's compact
+                           occurrences×chars approximation)
+      dup_{5..10}gram_char_frac
+                           token chars inside any n-gram occurring
+                           more than once / total token chars (same
+                           position-union coverage)
+      repetition_pass      conjunction of all 13 published thresholds
+                           (0.30/0.20 line+para, 0.20/0.18/0.16 top-n,
+                           0.15..0.10 dup-n)
+
+    Duplicate lines/paragraphs follow the first-occurrence-free
+    convention: a unit occurring c times contributes c-1 repeated
+    occurrences and (c-1)·len chars.
+
+    Scale shape: ONE explode emits every (n, gram, position) for
+    n=2..10, so the nine gram families ride one shuffle keyed by
+    (doc, n, gram) with map-side partial counts; the qualifying grams
+    (per-(doc,n) argmax for n≤4, count>1 for n≥5) join back to their
+    occurrences co-partitioned on the same (doc, n, gram) key, explode
+    to covered positions, and a distinct + position-length join turns
+    the union into exact integer char counts. Everything is combinable
+    aggregation and co-partitioned joins — no windows, no Python.
+    Every fraction is one division of exact integer counts
+    (engine-parity rule); docs with no tokens return NULL gram
+    fractions and repetition_pass=false (unscorable, never silently
+    passing)."""
+    toks = doc_tokens(F.col("text"))
+    base = docs.select("doc_id", "text", toks.alias("__t")).filter(
+        F.size("__t") > 0
+    )
+    chars = base.select(
+        "doc_id",
+        F.aggregate(
+            "__t", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).alias("__chars"),
+    )
+
+    # -- n-gram families, one explode for n = 2..10 with positions ---
+    gram_expr = F.expr(
+        "flatten(transform(sequence(2, 10), n -> "
+        "  if(size(__t) >= n, "
+        "     transform(sequence(1, size(__t) - n + 1), "
+        "       i -> struct(n AS n, "
+        "                   array_join(slice(__t, i, n), '\x01') AS g, "
+        "                   i AS i)), "
+        "     array())))"
+    )
+    occ = base.select("doc_id", F.explode(gram_expr).alias("x")).select(
+        "doc_id", "x.n", "x.g", "x.i"
+    )
+    cnt = occ.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    top = (
+        cnt.filter(F.col("n") <= 4)
+        .groupBy("doc_id", "n")
+        .agg(
+            F.min(
+                F.struct((-F.col("c")).alias("__nc"), F.col("g").alias("g"))
+            ).alias("__top")
+        )
+        .select("doc_id", "n", F.col("__top.g").alias("g"))
+    )
+    qualifying = cnt.filter((F.col("n") >= 5) & (F.col("c") > 1)).select(
+        "doc_id", "n", "g"
+    ).unionByName(top)
+    # 1-based token positions with their char lengths
+    tok_pos = base.select(
+        "doc_id", F.posexplode("__t").alias("__p0", "__w")
+    ).select(
+        "doc_id",
+        (F.col("__p0") + 1).alias("pos"),
+        F.length("__w").alias("__wl"),
+    )
+    covered = (
+        occ.join(qualifying, ["doc_id", "n", "g"])
+        .select(
+            "doc_id",
+            "n",
+            F.explode(F.sequence(F.col("i"), F.col("i") + F.col("n") - 1)).alias(
+                "pos"
+            ),
+        )
+        .distinct()
+        .join(tok_pos, ["doc_id", "pos"])
+        .groupBy("doc_id", "n")
+        .agg(F.sum("__wl").cast("long").alias("__cov"))
+    )
+    # pivot the ≤9 rows per doc back to columns (combinable max-of-when)
+    gram_cols = covered.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("__cov"))).alias(
+                f"__topchars_{n}"
+            )
+            for n in sorted(GOPHER_TOP_NGRAM_MAX)
+        ],
+        *[
+            F.max(F.when(F.col("n") == n, F.col("__cov"))).alias(
+                f"__dupchars_{n}"
+            )
+            for n in sorted(GOPHER_DUP_NGRAM_MAX)
+        ],
+    )
+
+    # -- duplicate lines / paragraphs --------------------------------
+    def _dup_units(sep_regex: str, prefix: str) -> DataFrame:
+        units = docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.col("text"), sep_regex), lambda u: u != ""
+                )
+            ).alias("u"),
+        )
+        uc = units.groupBy("doc_id", "u").agg(F.count(F.lit(1)).alias("c"))
+        return uc.groupBy("doc_id").agg(
+            F.sum("c").cast("long").alias(f"__{prefix}_n"),
+            F.sum(F.col("c") * F.length("u")).cast("long").alias(
+                f"__{prefix}_chars"
+            ),
+            F.sum(F.col("c") - 1).cast("long").alias(f"__{prefix}_dup"),
+            F.sum((F.col("c") - 1) * F.length("u")).cast("long").alias(
+                f"__{prefix}_dupchars"
+            ),
+        )
+
+    lines = _dup_units(r"\n", "ln")
+    paras = _dup_units(r"\n{2,}", "pa")
+
+    joined = (
+        chars.join(gram_cols, "doc_id", "left")
+        .join(lines, "doc_id", "left")
+        .join(paras, "doc_id", "left")
+    )
+
+    def _frac(num, den):
+        return F.coalesce(num / den, F.lit(0.0))
+
+    out_cols = [
+        _frac(F.col("__ln_dup"), F.col("__ln_n")).alias("dup_line_frac"),
+        _frac(F.col("__ln_dupchars"), F.col("__ln_chars")).alias(
+            "dup_line_char_frac"
+        ),
+        _frac(F.col("__pa_dup"), F.col("__pa_n")).alias("dup_para_frac"),
+        _frac(F.col("__pa_dupchars"), F.col("__pa_chars")).alias(
+            "dup_para_char_frac"
+        ),
+        *[
+            _frac(F.col(f"__topchars_{n}"), F.col("__chars")).alias(
+                f"top_{n}gram_frac"
+            )
+            for n in sorted(GOPHER_TOP_NGRAM_MAX)
+        ],
+        *[
+            _frac(F.col(f"__dupchars_{n}"), F.col("__chars")).alias(
+                f"dup_{n}gram_char_frac"
+            )
+            for n in sorted(GOPHER_DUP_NGRAM_MAX)
+        ],
+    ]
+    scored = joined.select("doc_id", *out_cols)
+    gate = (
+        (F.col("dup_line_frac") <= GOPHER_DUP_LINE_FRAC_MAX)
+        & (F.col("dup_line_char_frac") <= GOPHER_DUP_LINE_CHAR_MAX)
+        & (F.col("dup_para_frac") <= GOPHER_DUP_PARA_FRAC_MAX)
+        & (F.col("dup_para_char_frac") <= GOPHER_DUP_PARA_CHAR_MAX)
+    )
+    for n, thr in sorted(GOPHER_TOP_NGRAM_MAX.items()):
+        gate = gate & (F.col(f"top_{n}gram_frac") <= thr)
+    for n, thr in sorted(GOPHER_DUP_NGRAM_MAX.items()):
+        gate = gate & (F.col(f"dup_{n}gram_char_frac") <= thr)
+    scored = scored.withColumn("repetition_pass", gate)
+    frac_names = [c for c in scored.columns if c not in ("doc_id",)]
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            *[c for c in frac_names if c != "repetition_pass"],
+            F.coalesce("repetition_pass", F.lit(False)).alias(
+                "repetition_pass"
+            ),
+        )
+    )
+
+
+def massivetext_gates(docs: DataFrame) -> DataFrame:
+    """The full published MassiveText quality verdict per document:
+    word-shape stats + the complete 13-gate repetition battery
+    (gopher_repetition) + the conjunction gate. This is the operator a
+    curation pipeline actually filters on; gopher_quality remains the
+    cheap approximate pre-screen.
+
+      n_tokens, mean_word_len   word-shape stats
+      frac_top_word             reported as a SIGNAL only — it is not
+                                a Table A1 gate and is excluded from
+                                the verdict (the r5 ADVICE finding)
+      <13 repetition fractions> see gopher_repetition
+      repetition_pass           the 13 published repetition thresholds
+      gopher_pass               repetition_pass AND the published
+                                shape gates 50 ≤ n_tokens ≤ 100000,
+                                3 ≤ mean_word_len ≤ 10
+
+    Token-less documents: n_tokens=0, NULL signals, both passes false."""
+    toks = doc_tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("__t")).filter(F.size("__t") > 0)
+    wc = (
+        base.select("doc_id", F.explode("__t").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    shape = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        (F.sum(F.col("c") * F.length("w")) / F.sum("c")).alias("mean_word_len"),
+        (F.max("c") / F.sum("c")).alias("frac_top_word"),
+    )
+    rep = gopher_repetition(docs)
+    shape_gate = F.col("n_tokens").between(50, 100_000) & F.col(
+        "mean_word_len"
+    ).between(3.0, 10.0)
+    return (
+        rep.join(shape, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            "mean_word_len",
+            "frac_top_word",
+            *[c for c in rep.columns if c not in ("doc_id", "repetition_pass")],
+            "repetition_pass",
+            (
+                F.coalesce(shape_gate, F.lit(False)) & F.col("repetition_pass")
+            ).alias("gopher_pass"),
         )
     )
 

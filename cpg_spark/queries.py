@@ -4109,20 +4109,63 @@ FROM (SELECT * FROM bmp UNION ALL SELECT * FROM wav
 
 
 def q_ts_gopher_quality(spark, sf_dir):
-    """Gopher/MassiveText repetition-quality signals
-    (textstats.gopher_quality — Rae et al. 2021 Table A1): word-shape
-    stats, most-frequent-word and top-2-gram coverage, duplicated-
-    5-gram char fraction, and the conjunction gate. The oracle replays
-    every count and division relationally; all fractions are single
-    divisions of exact integer counts (engine-parity rule)."""
-    return textstats.gopher_quality(t_par(spark, sf_dir, "documents"))
+    """The COMPLETE published Gopher/MassiveText gate battery
+    (textstats.massivetext_gates → gopher_repetition — Rae et al. 2021
+    Table A1): word-shape stats, duplicate line/paragraph fractions,
+    most-frequent 2/3/4-gram coverage and duplicated 5–10-gram
+    coverage as exact position-union char fractions (≤1 by
+    construction, no overlap double-count), the 13-gate
+    repetition_pass, and the shape+repetition gopher_pass.
+    frac_top_word is reported as a signal but excluded from the gate
+    (it is not in Table A1 — the r5 ADVICE finding). The oracle
+    replays every count, the position union, and each single integer
+    division relationally (engine-parity rule)."""
+    return textstats.massivetext_gates(t_par(spark, sf_dir, "documents"))
 
+
+# generated fragments for the 9 gram families (n = 2..4 top, 5..10 dup)
+_GOPHER_TOP_NS = sorted(textstats.GOPHER_TOP_NGRAM_MAX)
+_GOPHER_DUP_NS = sorted(textstats.GOPHER_DUP_NGRAM_MAX)
+_GOPHER_PIVOT = ",\n         ".join(
+    f"MAX(CASE WHEN n = {n} THEN cov END) AS cov{n}"
+    for n in _GOPHER_TOP_NS + _GOPHER_DUP_NS
+)
+_GOPHER_FRACS = ",\n         ".join(
+    [
+        f"COALESCE(cov{n} / chars, 0.0) AS top_{n}gram_frac"
+        for n in _GOPHER_TOP_NS
+    ]
+    + [
+        f"COALESCE(cov{n} / chars, 0.0) AS dup_{n}gram_char_frac"
+        for n in _GOPHER_DUP_NS
+    ]
+)
+_GOPHER_OUT = ", ".join(
+    [f"j.top_{n}gram_frac" for n in _GOPHER_TOP_NS]
+    + [f"j.dup_{n}gram_char_frac" for n in _GOPHER_DUP_NS]
+)
+_GOPHER_REP_GATE = "\n                AND ".join(
+    [
+        "j.dup_line_frac <= 0.30",
+        "j.dup_line_char_frac <= 0.20",
+        "j.dup_para_frac <= 0.30",
+        "j.dup_para_char_frac <= 0.20",
+    ]
+    + [
+        f"j.top_{n}gram_frac <= {thr}"
+        for n, thr in sorted(textstats.GOPHER_TOP_NGRAM_MAX.items())
+    ]
+    + [
+        f"j.dup_{n}gram_char_frac <= {thr}"
+        for n, thr in sorted(textstats.GOPHER_DUP_NGRAM_MAX.items())
+    ]
+)
 
 SQL_TS_GOPHER_QUALITY = f"""
 WITH tk AS (
-  SELECT doc_id, {TOKEN_SQL} AS toks FROM documents
+  SELECT doc_id, text, {TOKEN_SQL} AS toks FROM documents
 ), nz AS (
-  SELECT doc_id, toks FROM tk WHERE len(toks) > 0
+  SELECT doc_id, text, toks FROM tk WHERE len(toks) > 0
 ), wc AS (
   SELECT doc_id, w, COUNT(*) AS c
   FROM (SELECT doc_id, unnest(toks) AS w FROM nz) GROUP BY 1, 2
@@ -4132,40 +4175,76 @@ WITH tk AS (
          MAX(c) / SUM(c) AS frac_top_word,
          CAST(SUM(c * len(w)) AS BIGINT) AS chars
   FROM wc GROUP BY doc_id
-), g2 AS (
-  SELECT doc_id, g, COUNT(*) AS c FROM (
-    SELECT doc_id, array_to_string(toks[i : i + 1], chr(1)) AS g
-    FROM nz, unnest(range(1, len(toks))) AS t(i)
-  ) GROUP BY 1, 2
-), t2 AS (
-  SELECT doc_id, c AS top2_cnt, len(g) - 1 AS top2_chars
-  FROM g2
-  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) = 1
-), g5 AS (
-  SELECT doc_id, g, COUNT(*) AS c FROM (
-    SELECT doc_id, array_to_string(toks[i : i + 4], chr(1)) AS g
-    FROM nz, unnest(range(1, len(toks) - 3)) AS t(i)
-  ) GROUP BY 1, 2
-), d5 AS (
+), occ AS (
+  SELECT doc_id, n, array_to_string(toks[i : i + n - 1], chr(1)) AS g, i
+  FROM nz CROSS JOIN unnest([{", ".join(map(str, _GOPHER_TOP_NS + _GOPHER_DUP_NS))}]) AS tn(n),
+       unnest(range(1, len(toks) - n + 2)) AS ti(i)
+), cnt AS (
+  SELECT doc_id, n, g, COUNT(*) AS c FROM occ GROUP BY 1, 2, 3
+), qual AS (
+  SELECT doc_id, n, g FROM cnt WHERE n >= 5 AND c > 1
+  UNION ALL
+  SELECT doc_id, n, g FROM (
+    SELECT doc_id, n, g,
+           row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, g) AS rn
+    FROM cnt WHERE n <= 4) WHERE rn = 1
+), tokpos AS (
+  SELECT doc_id, i AS pos, len(toks[i]) AS wl
+  FROM nz, unnest(range(1, len(toks) + 1)) AS t(i)
+), cov AS (
+  SELECT doc_id, n, CAST(SUM(wl) AS BIGINT) AS cov FROM (
+    SELECT DISTINCT o.doc_id, o.n, p AS pos
+    FROM occ o JOIN qual q USING (doc_id, n, g),
+         unnest(range(i, i + n)) AS tp(p)
+  ) cp JOIN tokpos USING (doc_id, pos)
+  GROUP BY doc_id, n
+), gramcols AS (
   SELECT doc_id,
-         CAST(SUM(CASE WHEN c > 1 THEN c * (len(g) - 4) ELSE 0 END) AS BIGINT)
-           AS dup5_chars
-  FROM g5 GROUP BY doc_id
+         {_GOPHER_PIVOT}
+  FROM cov GROUP BY doc_id
+), lns AS (
+  SELECT doc_id, u, COUNT(*) AS c FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(text, '\\n'), x -> x <> '')) AS u
+    FROM nz) GROUP BY 1, 2
+), lnagg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS ln_n,
+         CAST(SUM(c * len(u)) AS BIGINT) AS ln_chars,
+         CAST(SUM(c - 1) AS BIGINT) AS ln_dup,
+         CAST(SUM((c - 1) * len(u)) AS BIGINT) AS ln_dupchars
+  FROM lns GROUP BY doc_id
+), prs AS (
+  SELECT doc_id, u, COUNT(*) AS c FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(text, '\\n{{2,}}'), x -> x <> '')) AS u
+    FROM nz) GROUP BY 1, 2
+), paagg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS pa_n,
+         CAST(SUM(c * len(u)) AS BIGINT) AS pa_chars,
+         CAST(SUM(c - 1) AS BIGINT) AS pa_dup,
+         CAST(SUM((c - 1) * len(u)) AS BIGINT) AS pa_dupchars
+  FROM prs GROUP BY doc_id
 ), j AS (
   SELECT ws.doc_id, n_tokens, mean_word_len, frac_top_word,
-         COALESCE(t2.top2_cnt * t2.top2_chars / ws.chars, 0.0)
-           AS top_2gram_frac,
-         COALESCE(d5.dup5_chars / ws.chars, 0.0) AS dup_5gram_char_frac
-  FROM ws LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+         COALESCE(ln_dup / ln_n, 0.0) AS dup_line_frac,
+         COALESCE(ln_dupchars / ln_chars, 0.0) AS dup_line_char_frac,
+         COALESCE(pa_dup / pa_n, 0.0) AS dup_para_frac,
+         COALESCE(pa_dupchars / pa_chars, 0.0) AS dup_para_char_frac,
+         {_GOPHER_FRACS}
+  FROM ws LEFT JOIN gramcols USING (doc_id)
+       LEFT JOIN lnagg USING (doc_id) LEFT JOIN paagg USING (doc_id)
 )
 SELECT d.doc_id, CAST(COALESCE(j.n_tokens, 0) AS BIGINT) AS n_tokens,
-       j.mean_word_len, j.frac_top_word, j.top_2gram_frac,
-       j.dup_5gram_char_frac,
+       j.mean_word_len, j.frac_top_word,
+       j.dup_line_frac, j.dup_line_char_frac,
+       j.dup_para_frac, j.dup_para_char_frac,
+       {_GOPHER_OUT},
+       COALESCE({_GOPHER_REP_GATE}, FALSE) AS repetition_pass,
        COALESCE(j.n_tokens BETWEEN 50 AND 100000
                 AND j.mean_word_len BETWEEN 3.0 AND 10.0
-                AND j.frac_top_word <= 0.2
-                AND j.top_2gram_frac <= 0.20
-                AND j.dup_5gram_char_frac <= 0.15, FALSE) AS gopher_pass
+                AND {_GOPHER_REP_GATE}, FALSE) AS gopher_pass
 FROM documents d LEFT JOIN j USING (doc_id)
 """
 

@@ -135,6 +135,7 @@ def ingest_graph_stream(
     checkpoint_dir: str,
     query_name: str = "kg_ingest",
     max_files_per_trigger: int | None = None,
+    retain_snapshots: int = 2,
 ):
     """Streaming KG CONSTRUCTION — the full batch chain (sentences →
     mentions → link → canonicalize → triple agg) run per micro-batch
@@ -146,12 +147,26 @@ def ingest_graph_stream(
 
     Exactly-once across micro-batch RETRIES: each commit writes the
     merged snapshot to graph_dir/v{batch_id} and then atomically
-    renames a pointer file recording {batch_id, path}; a replayed
-    batch_id ≤ the committed one is skipped, so a crash between the
-    snapshot write and Spark's checkpoint advance cannot double-merge
-    (the KgPipeline snapshot-commit protocol applied to streaming).
-    The 'current graph' a reader sees is whatever the pointer names —
-    always one complete, consistent snapshot.
+    renames a pointer file recording {batch_id, path, checkpoint_dir};
+    a replayed batch_id EQUAL to the committed one is skipped, so a
+    crash between the snapshot write and Spark's checkpoint advance
+    cannot double-merge (the KgPipeline snapshot-commit protocol
+    applied to streaming). The 'current graph' a reader sees is
+    whatever the pointer names — always one complete, consistent
+    snapshot.
+
+    Never-silent replay contract: Structured Streaming only ever
+    re-delivers the single most recent unacknowledged batch, so a
+    batch_id STRICTLY BELOW the committed one — or a pointer recorded
+    under a different checkpoint_dir — means the checkpoint was
+    deleted/reset while graph_dir/CURRENT survived (batch ids restart
+    at 0 and every new batch would be silently dropped). Both raise
+    RuntimeError instead of skipping; recover by removing graph_dir or
+    pointing at a fresh one.
+
+    Retention: superseded v{batch_id} snapshot dirs are pruned after
+    each commit, keeping the newest `retain_snapshots` (≥1; the
+    pointer target is always retained).
 
     Per-page atomicity: a page's sentences never split across batches
     (file-sourced micro-batches are whole files), so co-occurrence
@@ -164,6 +179,7 @@ def ingest_graph_stream(
 
     comps = canonicalize.canonical_map(alias_dict)
     pointer = _os.path.join(graph_dir, "CURRENT")
+    ck_abs = _os.path.abspath(checkpoint_dir)
 
     def _read_pointer():
         if not _os.path.exists(pointer):
@@ -173,8 +189,26 @@ def ingest_graph_stream(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         cur = _read_pointer()
-        if cur is not None and batch_id <= cur["batch_id"]:
-            return  # replayed batch already committed — skip, don't double-merge
+        if cur is not None:
+            committed_ck = cur.get("checkpoint_dir")
+            if committed_ck is not None and committed_ck != ck_abs:
+                raise RuntimeError(
+                    f"graph snapshot {graph_dir!r} was committed under "
+                    f"checkpoint {committed_ck!r} but this stream runs under "
+                    f"{ck_abs!r}: a reset/relocated checkpoint restarts batch "
+                    "ids at 0 and would silently drop or double-merge batches. "
+                    "Remove the graph dir (or point at a fresh one) to re-ingest."
+                )
+            if batch_id == cur["batch_id"]:
+                return  # crash-replay of the committed batch — skip, don't double-merge
+            if batch_id < cur["batch_id"]:
+                raise RuntimeError(
+                    f"batch_id {batch_id} is behind committed "
+                    f"{cur['batch_id']} in {pointer!r}: Structured Streaming "
+                    "only replays the single most recent batch, so the "
+                    "checkpoint was deleted/reset while the graph pointer "
+                    "survived. Refusing to silently drop batches."
+                )
         sent = extract.sentences(batch_df)
         ment = extract.mentions(sent)
         links = _link.link_mentions(ment, alias_dict)
@@ -189,8 +223,19 @@ def ingest_graph_stream(
         agg.write.mode("overwrite").parquet(vdir)
         tmp = pointer + ".tmp"
         with open(tmp, "w") as f:
-            _json.dump({"batch_id": batch_id, "path": vdir}, f)
+            _json.dump(
+                {"batch_id": batch_id, "path": vdir, "checkpoint_dir": ck_abs}, f
+            )
         _os.replace(tmp, pointer)  # atomic on POSIX
+        # prune superseded snapshots, newest retain_snapshots kept
+        import re as _re
+        import shutil as _shutil
+
+        vdirs = sorted(
+            d for d in _os.listdir(graph_dir) if _re.fullmatch(r"v\d{6}", d)
+        )
+        for stale in vdirs[: -max(1, retain_snapshots)]:
+            _shutil.rmtree(_os.path.join(graph_dir, stale), ignore_errors=True)
 
     _os.makedirs(graph_dir, exist_ok=True)
     stream = read_page_stream(spark, pages_dir, max_files_per_trigger)

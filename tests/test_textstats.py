@@ -79,3 +79,81 @@ def test_quality_score_bounds(docs_df):
     rows = textstats.quality_score(docs_df).collect()
     for r in rows:
         assert 0.0 <= r["quality"] <= 1.0
+
+
+def test_gopher_repetition_hand_computed(spark):
+    """The full Table A1 repetition battery on hand-checkable docs.
+    d1: 'the cat sat on the mat' twice + one unique line — dup_line
+    1/3 lines, 17/48 chars; the duplicated 5-grams cover token
+    positions 1..12 exactly (union, no double count) = 34/48 chars.
+    d3 'spam' x 12: every position covered by every family = 1.0
+    everywhere, all repetition gates fail. d5: paragraph duplicate.
+    Token-less doc: NULL signals, pass=false."""
+    docs = spark.createDataFrame(
+        [
+            ("d1", "the cat sat on the mat\nthe cat sat on the mat\nunique line here"),
+            ("d2", " ".join(f"tok{i:03d}" for i in range(60))),
+            ("d3", "spam " * 12),
+            ("d4", ""),
+            ("d5", "p one here\n\np one here\n\np two now"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.gopher_repetition(docs).collect()}
+
+    r1 = out["d1"]
+    assert abs(r1["dup_line_frac"] - 1 / 3) < 1e-15
+    # line chars INCLUDE intra-line spaces: 22 + 22 + 16; one repeated
+    # occurrence of the 22-char line
+    assert abs(r1["dup_line_char_frac"] - 22 / 60) < 1e-15
+    assert abs(r1["dup_5gram_char_frac"] - 34 / 48) < 1e-15
+    assert abs(r1["dup_6gram_char_frac"] - 34 / 48) < 1e-15
+    assert r1["dup_7gram_char_frac"] == 0.0
+    assert not r1["repetition_pass"]
+
+    r2 = out["d2"]  # 60 distinct tokens: no duplicates anywhere,
+    # top n-gram coverage = n tokens' chars / total
+    assert r2["dup_line_frac"] == 0.0
+    assert abs(r2["top_2gram_frac"] - 12 / 360) < 1e-15
+    assert abs(r2["top_3gram_frac"] - 18 / 360) < 1e-15
+    assert abs(r2["top_4gram_frac"] - 24 / 360) < 1e-15
+    assert all(r2[f"dup_{n}gram_char_frac"] == 0.0 for n in range(5, 11))
+    assert r2["repetition_pass"]
+
+    r3 = out["d3"]
+    for n in (2, 3, 4):
+        assert r3[f"top_{n}gram_frac"] == 1.0
+    for n in range(5, 11):
+        assert r3[f"dup_{n}gram_char_frac"] == 1.0
+    assert not r3["repetition_pass"]
+
+    r4 = out["d4"]
+    assert r4["dup_line_frac"] is None and not r4["repetition_pass"]
+
+    r5 = out["d5"]
+    assert abs(r5["dup_para_frac"] - 1 / 3) < 1e-15
+    assert abs(r5["dup_line_frac"] - 1 / 3) < 1e-15
+    assert not r5["repetition_pass"]  # top-gram gates fail on tiny docs
+
+
+def test_massivetext_gates_verdict(spark):
+    """The combined verdict: a 60-distinct-token doc passes shape AND
+    repetition; frac_top_word is reported but NOT a gate (a doc with
+    one word at 25% frequency still passes — the r5 ADVICE finding);
+    short docs fail shape, repetitive docs fail repetition."""
+    clean = " ".join(f"tok{i:03d}" for i in range(60))
+    # 'the' appears 20/80 times = 0.25 > the old custom 0.2 gate, but
+    # every Table A1 gate passes (dup 5-grams need repeated runs; the
+    # 'the' occurrences are isolated between distinct fillers)
+    topword = " ".join(f"the word{i:04d} also{i:04d} more{i:04d}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(0, clean), (1, "tiny doc"), (2, ("spam " * 60)), (3, topword)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.massivetext_gates(docs).collect()}
+    assert out[0]["gopher_pass"] and out[0]["repetition_pass"]
+    assert out[1]["n_tokens"] == 2 and not out[1]["gopher_pass"]
+    assert not out[2]["gopher_pass"] and not out[2]["repetition_pass"]
+    r3 = out[3]
+    assert r3["frac_top_word"] == 0.25
+    assert r3["repetition_pass"] and r3["gopher_pass"]
