@@ -419,7 +419,9 @@ def _rank_and_reassemble(chunks: DataFrame, docs: DataFrame) -> DataFrame:
     )
 
 
-def anchor_chunk_dedup(docs: DataFrame, anchor_mod: int = 8) -> DataFrame:
+def anchor_chunk_dedup(
+    docs: DataFrame, anchor_mod: int = 8, n_families: int = 2
+) -> DataFrame:
     """Segment dedup with CONTENT-DEFINED boundaries — the
     alignment-free variant of chunk_dedup (the CDC/winnowing idea
     behind Lee et al.'s exact-substring dedup, without the suffix
@@ -428,31 +430,126 @@ def anchor_chunk_dedup(docs: DataFrame, anchor_mod: int = 8) -> DataFrame:
     A passage pasted into two documents at different token offsets
     produces identical interior chunks in both — the fixed 10-token
     grid sees nothing, this catches everything between the passage's
-    first and last interior anchor (expected chunk length =
-    anchor_mod; the two edge fragments remain approximation loss).
+    first and last interior anchor.
 
-    Chunking is pure array arithmetic in the scan projection (anchor
-    positions → zip_with slices — no Python, no shuffle); then the
-    same one-shuffle-by-fingerprint corpus-first machinery as
-    chunk_dedup, same output schema and drop accounting."""
+    EDGE-FRAGMENT CLOSURE (r5 verdict ask #5): one anchor family
+    leaves the passage's leading/trailing fragments (before the first
+    / after the last interior anchor, expected anchor_mod tokens each)
+    undeduped, because those chunks mix passage tokens with
+    document-specific context. `n_families` independent anchor
+    families (family f salts the anchor hash with chr(2)×f, a
+    character outside the token alphabet) chunk the SAME corpus on
+    different content-defined grids; a duplicate occurrence's token
+    range is dropped when ANY family sees it inside a
+    non-corpus-first chunk. The residual per-side loss is the MINIMUM
+    of the families' anchor distances — expected ≈ anchor_mod /
+    n_families tokens (n_families=1 reproduces the single-grid
+    behavior bit-exactly; Lee et al.'s suffix-array exact-substring
+    dedup is the zero-loss alternative this approximates without a
+    distributed suffix array).
+
+    Token-level semantics: duplicate decisions are corpus-first per
+    (family, fingerprint) — content-deterministic, identical at any
+    parallelism — and materialize as a per-document mask of dropped
+    token positions (the union over families); surviving tokens
+    reassemble in order. Chunking stays pure array arithmetic in the
+    scan projection; the mask is one shuffle by (family, fingerprint)
+    for the rank, one distinct on dropped positions, and an anti-join
+    back to token positions — everything linear in corpus size, no
+    joins keyed on raw text.
+
+    Returns (doc_id, text_deduped, n_tokens, n_dropped_tokens); a
+    document whose every token is someone else's boilerplate comes
+    back with empty text and n_dropped_tokens = n_tokens (drop
+    decision left to the caller — never silent)."""
     toks = doc_tokens(F.col("text"))
     base = docs.select("doc_id", toks.alias("__t")).filter(F.size("__t") > 0)
     t = F.col("__t")
-    starts = F.filter(
-        F.sequence(F.lit(0), F.size(t) - 1),
-        lambda i: (i == 0)
-        | (char_poly_hash_col(F.element_at(t, i + 1)) % anchor_mod == 0),
+
+    def _mk_anchor(salt_str: str):
+        # single-parameter lambda: a second parameter would make
+        # F.filter bind it to the element index
+        def _anchor(i):
+            tok = F.element_at(t, i + 1)
+            salted = F.concat(tok, F.lit(salt_str)) if salt_str else tok
+            return (i == 0) | (char_poly_hash_col(salted) % anchor_mod == 0)
+
+        return _anchor
+
+    fam_frames = []
+    for fam in range(n_families):
+        salt = "\x02" * fam
+        starts = F.filter(F.sequence(F.lit(0), F.size(t) - 1), _mk_anchor(salt))
+        ends = F.concat(
+            F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(1))),
+            F.array(F.size(t)),
+        )
+        spans = F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.struct(
+                s.alias("start"),
+                e.alias("end"),
+                F.array_join(F.slice(t, s + 1, e - s), " ").alias(
+                    "chunk_text"
+                ),
+            ),
+        )
+        fam_frames.append(
+            base.select(
+                "doc_id", F.lit(fam).alias("fam"), F.explode(spans).alias("ch")
+            ).select("doc_id", "fam", "ch.start", "ch.end", "ch.chunk_text")
+        )
+    chunks = fam_frames[0]
+    for f in fam_frames[1:]:
+        chunks = chunks.unionByName(f)
+
+    ranked = chunks.withColumn(
+        "fp", char_poly_hash_col(F.col("chunk_text"))
+    ).withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("fam", "fp").orderBy("doc_id", "start")
+        ),
     )
-    ends = F.concat(
-        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(1))),
-        F.array(F.size(t)),
+    masked = (
+        ranked.filter(F.col("__rn") > 1)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("start"), F.col("end") - 1)).alias(
+                "pos"
+            ),
+        )
+        .distinct()
     )
-    chunk_list = F.zip_with(
-        starts,
-        ends,
-        lambda s, e: F.array_join(F.slice(t, s + 1, e - s), " "),
+    tokpos = base.select("doc_id", F.posexplode("__t").alias("pos", "w"))
+    kept = tokpos.join(masked, ["doc_id", "pos"], "left_anti")
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("w")))
+                ),
+                lambda s: s.getField("w"),
+            ),
+            " ",
+        ).alias("text_deduped"),
     )
-    chunks = base.select(
-        "doc_id", F.posexplode(chunk_list).alias("chunk_idx", "chunk_text")
+    sizes = base.select("doc_id", F.size("__t").cast("long").alias("n_tokens"))
+    return (
+        docs.select("doc_id")
+        .join(sizes, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            (
+                F.coalesce("n_tokens", F.lit(0))
+                - F.coalesce("__n_kept", F.lit(0))
+            )
+            .cast("long")
+            .alias("n_dropped_tokens"),
+        )
     )
-    return _rank_and_reassemble(chunks, docs)

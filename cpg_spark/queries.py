@@ -4258,52 +4258,74 @@ def q_dd_anchor_dedup(spark, sf_dir):
     hash(token) ≡ 0 (mod 8) opens a chunk — so a passage duplicated at
     DIFFERENT token offsets in two documents still fingerprints
     identically chunk-for-chunk, the case chunk_dedup's fixed grid
-    cannot see. The oracle replays anchor selection, slicing,
-    corpus-first ranking, and ordered reassembly."""
+    cannot see. r6: TWO independent anchor families (the second salts
+    the anchor hash with chr(2)) union their duplicate masks at token
+    level, halving the expected edge-fragment loss around a duplicated
+    passage (r5 verdict ask #5). The oracle replays both families'
+    anchor selection, slicing, corpus-first ranking, the position-mask
+    union, and ordered reassembly."""
     from .operators import dedup as dd
 
     return dd.anchor_chunk_dedup(
-        t_par(spark, sf_dir, "documents"), anchor_mod=_ANCHOR_MOD
+        t_par(spark, sf_dir, "documents"), anchor_mod=_ANCHOR_MOD, n_families=2
     )
 
 
 SQL_DD_ANCHOR_DEDUP = f"""
 WITH tk AS (
   SELECT doc_id, {TOKEN_SQL} AS toks FROM documents
+), nz AS (
+  SELECT doc_id, toks FROM tk WHERE len(toks) > 0
 ), st AS (
-  SELECT doc_id, toks,
+  SELECT doc_id, f, toks,
          list_filter(range(0, len(toks)),
-           i -> i = 0 OR {char_poly_hash_sql('toks[i+1]')} % {_ANCHOR_MOD} = 0)
-           AS ss
-  FROM tk WHERE len(toks) > 0
-), cs AS (
-  SELECT doc_id,
-         list_transform(range(1, len(ss) + 1),
-           j -> array_to_string(
-             toks[ss[j]+1 :
-                  CASE WHEN j < len(ss) THEN ss[j+1] ELSE len(toks) END],
-             ' ')) AS cl
-  FROM st
-), chunks AS (
-  SELECT doc_id, CAST(u[2] AS BIGINT) AS chunk_idx, u[1] AS chunk_text,
-         {char_poly_hash_sql('u[1]')} AS fp
-  FROM (SELECT doc_id, unnest(list_zip(cl, range(0, len(cl)))) AS u FROM cs)
-), ranked AS (
-  SELECT doc_id, chunk_idx, chunk_text,
-         row_number() OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx) AS rn
-  FROM chunks
-), agg AS (
-  SELECT doc_id, COUNT(*) AS n_chunks,
-         SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dropped,
+           i -> i = 0 OR
+                {char_poly_hash_sql("(toks[i+1] || repeat(chr(2), f))")}
+                % {_ANCHOR_MOD} = 0) AS ss
+  FROM nz CROSS JOIN unnest([0, 1]) AS tf(f)
+), spans AS (
+  SELECT doc_id, f,
+         CAST(u[1] AS BIGINT) AS s, CAST(u[2] AS BIGINT) AS e,
          array_to_string(
-           list(CASE WHEN rn = 1 THEN chunk_text END ORDER BY chunk_idx)
-             FILTER (rn = 1), ' ') AS text_deduped
-  FROM ranked GROUP BY doc_id
+           toks[CAST(u[1] AS BIGINT) + 1 : CAST(u[2] AS BIGINT)], ' ')
+           AS chunk_text
+  FROM (
+    SELECT doc_id, f, toks,
+           unnest(list_zip(ss,
+             list_transform(range(1, len(ss) + 1),
+               j -> CASE WHEN j < len(ss) THEN ss[j+1]
+                         ELSE len(toks) END))) AS u
+    FROM st)
+), ranked AS (
+  SELECT doc_id, s, e,
+         row_number() OVER (
+           PARTITION BY f, {char_poly_hash_sql('chunk_text')}
+           ORDER BY doc_id, s) AS rn
+  FROM spans
+), masked AS (
+  SELECT DISTINCT doc_id, p
+  FROM ranked, unnest(range(s, e)) AS tp(p)
+  WHERE rn > 1
+), tokpos AS (
+  SELECT doc_id, i AS pos, toks[i + 1] AS w
+  FROM nz, unnest(range(0, len(toks))) AS ti(i)
+), kept AS (
+  SELECT t.doc_id, t.pos, t.w FROM tokpos t
+  WHERE NOT EXISTS (SELECT 1 FROM masked m
+                    WHERE m.doc_id = t.doc_id AND m.p = t.pos)
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         array_to_string(list(w ORDER BY pos), ' ') AS text_deduped
+  FROM kept GROUP BY doc_id
+), sizes AS (
+  SELECT doc_id, len(toks) AS n_tokens FROM nz
 )
 SELECT d.doc_id, COALESCE(a.text_deduped, '') AS text_deduped,
-       CAST(COALESCE(a.n_chunks, 0) AS BIGINT) AS n_chunks,
-       CAST(COALESCE(a.n_dropped, 0) AS BIGINT) AS n_dropped
-FROM documents d LEFT JOIN agg a USING (doc_id)
+       CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(s.n_tokens, 0) - COALESCE(a.n_kept, 0) AS BIGINT)
+         AS n_dropped_tokens
+FROM documents d LEFT JOIN sizes s USING (doc_id)
+     LEFT JOIN agg a USING (doc_id)
 """
 
 

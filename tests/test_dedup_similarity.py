@@ -717,14 +717,51 @@ def test_chunk_dedup_removes_boilerplate(spark):
     assert out[3]["text_deduped"] == rows[3][1]
 
 
+def _py_anchor_union_dedup(docs_toks, m, n_fams):
+    """Independent pure-python replication of anchor_chunk_dedup's
+    multi-family token-mask semantics (anchor selection per salted
+    family, slicing, corpus-first rank by (doc_id, start), position
+    mask union, ordered reassembly)."""
+    from cpg_spark.functions.hashing import char_poly_hash_py
+
+    def chunks(toks, fam):
+        salt = "\x02" * fam
+        ss = [
+            i
+            for i in range(len(toks))
+            if i == 0 or char_poly_hash_py(toks[i] + salt) % m == 0
+        ]
+        ee = ss[1:] + [len(toks)]
+        return [(s, e, " ".join(toks[s:e])) for s, e in zip(ss, ee)]
+
+    occ = [
+        (fam, c, did, s, e)
+        for fam in range(n_fams)
+        for did, toks in docs_toks
+        for s, e, c in chunks(toks, fam)
+    ]
+    first: dict = {}
+    for fam, c, did, s, e in sorted(occ, key=lambda x: (x[0], x[1], x[2], x[3])):
+        first.setdefault((fam, c), (did, s))
+    masked = {did: set() for did, _ in docs_toks}
+    for fam, c, did, s, e in occ:
+        if first[(fam, c)] != (did, s):
+            masked[did].update(range(s, e))
+    out = {}
+    for did, toks in docs_toks:
+        keep = [w for i, w in enumerate(toks) if i not in masked[did]]
+        out[did] = (" ".join(keep), len(toks), len(toks) - len(keep))
+    return out
+
+
 def test_anchor_chunk_dedup_catches_misaligned_passage(spark):
     """The cross-boundary case the fixed grid misses: one 40-token
     passage pasted at token offset 0 in doc A and offset 3 in doc B.
     chunk_dedup's 10-token grid sees disjoint fingerprints (drops
     nothing from B); anchor_chunk_dedup's content-defined boundaries
-    re-align inside the passage and drop B's interior chunks. The
-    whole output is checked against an independent pure-python
-    replication of the anchor chunking + corpus-first rule."""
+    re-align inside the passage and drop B's interior tokens. The
+    whole output is checked against the independent pure-python
+    replication, for one and for two anchor families."""
     from cpg_spark.functions.hashing import char_poly_hash_py
     from cpg_spark.operators.dedup import anchor_chunk_dedup, chunk_dedup
 
@@ -741,31 +778,95 @@ def test_anchor_chunk_dedup_catches_misaligned_passage(spark):
     fixed = {r["doc_id"]: r for r in chunk_dedup(docs).collect()}
     assert fixed[1]["n_dropped"] == 0  # the documented blind spot
 
-    def py_chunks(toks):
-        ss = [
+    docs_toks = [(0, a_toks), (1, b_toks)]
+    for fams in (1, 2):
+        exp = _py_anchor_union_dedup(docs_toks, m, fams)
+        got = {
+            r["doc_id"]: (
+                r["text_deduped"], r["n_tokens"], r["n_dropped_tokens"]
+            )
+            for r in anchor_chunk_dedup(
+                docs, anchor_mod=m, n_families=fams
+            ).collect()
+        }
+        assert got == exp, f"n_families={fams}"
+        assert got[0][2] == 0 and got[1][2] >= len(interior) - 1
+
+
+def test_anchor_dedup_edge_fragment_capture(spark):
+    """The r5 verdict ask #5 closure: a passage whose SECOND anchor
+    family has interior anchors strictly outside the first family's
+    span (searched deterministically: seed 7, 4 trials), pasted at
+    different offsets into two docs. With one family, B keeps the
+    leading tokens before family-0's first interior anchor (offset 6)
+    — the documented edge-fragment loss. With two families, family 1's
+    anchor at offset 1 re-aligns the leading fragment and B drops it:
+    strictly more of the passage dedups, and specifically tokens in
+    the family-0 blind edge region are gone from B's output."""
+    import random
+
+    from cpg_spark.functions.hashing import char_poly_hash_py
+    from cpg_spark.operators.dedup import anchor_chunk_dedup
+
+    m = 4
+    rng = random.Random(7)
+    passage = None
+    for _ in range(10000):
+        cand = [f"w{rng.randint(0, 9999)}" for _ in range(40)]
+        f0 = [i for i, t in enumerate(cand) if i > 0 and char_poly_hash_py(t) % m == 0]
+        f1 = [
             i
-            for i in range(len(toks))
-            if i == 0 or char_poly_hash_py(toks[i]) % m == 0
+            for i, t in enumerate(cand)
+            if i > 0 and char_poly_hash_py(t + "\x02") % m == 0
         ]
-        ee = ss[1:] + [len(toks)]
-        return [" ".join(toks[s:e]) for s, e in zip(ss, ee)]
+        if (
+            len(f0) >= 2 and len(f1) >= 2
+            and f1[0] < f0[0] - 1 and f1[-1] > f0[-1] + 1
+        ):
+            passage = cand
+            break
+    assert passage is not None
+    a_toks = passage
+    b_toks = ["padx", "pady", "padz"] + passage + ["tailp", "tailq"]
+    docs = spark.createDataFrame(
+        [(0, " ".join(a_toks)), (1, " ".join(b_toks))],
+        "doc_id long, text string",
+    )
+    docs_toks = [(0, a_toks), (1, b_toks)]
 
-    first = {}
-    for did, toks in ((0, a_toks), (1, b_toks)):
-        for ci, c in enumerate(py_chunks(toks)):
-            first.setdefault(c, (did, ci))
-    exp = {}
-    for did, toks in ((0, a_toks), (1, b_toks)):
-        cs = py_chunks(toks)
-        keep = [c for ci, c in enumerate(cs) if first[c] == (did, ci)]
-        exp[did] = (" ".join(keep), len(cs), len(cs) - len(keep))
+    results = {}
+    for fams in (1, 2):
+        exp = _py_anchor_union_dedup(docs_toks, m, fams)
+        got = {
+            r["doc_id"]: (
+                r["text_deduped"], r["n_tokens"], r["n_dropped_tokens"]
+            )
+            for r in anchor_chunk_dedup(
+                docs, anchor_mod=m, n_families=fams
+            ).collect()
+        }
+        assert got == exp, f"n_families={fams}"
+        results[fams] = got
 
-    got = {
-        r["doc_id"]: (r["text_deduped"], r["n_chunks"], r["n_dropped"])
-        for r in anchor_chunk_dedup(docs, anchor_mod=m).collect()
-    }
-    assert got == exp
-    assert got[0][2] == 0 and got[1][2] >= len(interior) - 1  # B loses interior
+    # two families drop strictly more of B than one family
+    assert results[2][1][2] > results[1][1][2]
+    # the family-0 leading blind spot (passage offsets 1..f0_first-1,
+    # doc-B positions 4..) is captured by family 1
+    f0_first = next(
+        i for i, t in enumerate(passage) if i > 0 and char_poly_hash_py(t) % m == 0
+    )
+    f1_first = next(
+        i
+        for i, t in enumerate(passage)
+        if i > 0 and char_poly_hash_py(t + "\x02") % m == 0
+    )
+    blind_edge = passage[f1_first:f0_first]
+    assert blind_edge  # the searched fixture guarantees a gap
+    kept_b_1fam = results[1][1][0].split(" ")
+    kept_b_2fam = results[2][1][0].split(" ")
+    for w in blind_edge:
+        assert w in kept_b_1fam      # one family leaves the edge fragment
+        assert w not in kept_b_2fam  # the second family captures it
 
 
 def test_lm_bigram_score_closed_form(spark):
@@ -811,13 +912,13 @@ def test_lm_bigram_score_vocab_cap_oov(spark):
 
 
 def test_anchor_chunk_dedup_randomized_differential(spark):
-    """Randomized differential: anchor_chunk_dedup vs a pure-python
-    replication (anchor selection, slicing, corpus-first rank, ordered
-    reassembly) over seeded random corpora with planted duplications at
-    random offsets."""
+    """Randomized differential: anchor_chunk_dedup vs the pure-python
+    replication (per-family anchor selection, slicing, corpus-first
+    rank, position-mask union, ordered reassembly) over seeded random
+    corpora with planted duplications at random offsets — for one and
+    two anchor families."""
     import random
 
-    from cpg_spark.functions.hashing import char_poly_hash_py
     from cpg_spark.operators.dedup import anchor_chunk_dedup
 
     rng = random.Random(20260817)
@@ -837,26 +938,14 @@ def test_anchor_chunk_dedup_randomized_differential(spark):
             [(d, " ".join(t)) for d, t in docs_toks],
             "doc_id long, text string",
         )
-
-        def chunks(toks):
-            ss = [
-                i for i in range(len(toks))
-                if i == 0 or char_poly_hash_py(toks[i]) % m == 0
-            ]
-            ee = ss[1:] + [len(toks)]
-            return [" ".join(toks[a:b]) for a, b in zip(ss, ee)]
-
-        first: dict = {}
-        for did, toks in docs_toks:
-            for ci, c in enumerate(chunks(toks)):
-                first.setdefault(c, (did, ci))
-        exp = {}
-        for did, toks in docs_toks:
-            cs = chunks(toks)
-            keep = [c for ci, c in enumerate(cs) if first[c] == (did, ci)]
-            exp[did] = (" ".join(keep), len(cs), len(cs) - len(keep))
-        got = {
-            r["doc_id"]: (r["text_deduped"], r["n_chunks"], r["n_dropped"])
-            for r in anchor_chunk_dedup(docs, anchor_mod=m).collect()
-        }
-        assert got == exp, f"trial {trial}"
+        for fams in (1, 2):
+            exp = _py_anchor_union_dedup(docs_toks, m, fams)
+            got = {
+                r["doc_id"]: (
+                    r["text_deduped"], r["n_tokens"], r["n_dropped_tokens"]
+                )
+                for r in anchor_chunk_dedup(
+                    docs, anchor_mod=m, n_families=fams
+                ).collect()
+            }
+            assert got == exp, f"trial {trial} n_families={fams}"
