@@ -310,6 +310,8 @@ def kmeans_fit(
     n_iter: int = 5,
     seed_ids: list[int] | None = None,
     id_col: str = "vec_id",
+    ordered: bool = False,
+    n_salts: int = 8,
 ) -> list[list[float]]:
     """Distributed Lloyd's k-means over the embedding column — the IVF
     training step (ivf_assign consumes the result as its centroid set).
@@ -319,15 +321,25 @@ def kmeans_fit(
         driver-small by definition), distance argmin via a combinable
         min(struct(dist, cell)) aggregation — no window, no shuffle of
         the big side beyond the final per-vector min;
-      update — posexplode to (cell, dim_idx, val) then a map-side
-        combinable avg per (cell, dim_idx); k·dim result rows collect to
-        the driver for the next round's literals.
+      update — posexplode to (cell, dim_idx, val), then the per-(cell,
+        dim) mean; k·dim result rows collect to the driver for the next
+        round's literals.
 
-    Deterministic: init = the vectors with ids `seed_ids` (default: the
-    k smallest ids); fixed n_iter (no data-dependent stopping), so the
-    same input gives the same centroids at any parallelism. Empty cells
-    keep their previous centroid. Returns the centroids as plain lists
-    (broadcast-literal sized)."""
+    Update-fold modes (the graphrank.pagerank ordered/combinable
+    contract): `ordered=False` (web-scale default) uses a combinable
+    avg — map-side partials, nothing collected, but the float sum
+    order follows the partitioning, so centroids are deterministic
+    only up to last-ulp addition order. `ordered=True` (oracle-parity
+    mode) computes each mean as a salted two-phase SEQUENTIAL fold:
+    per (cell, dim, id%n_salts) the values fold in id order, then the
+    ≤n_salts partials fold in salt order — bit-identical at any
+    parallelism and exactly replayable in SQL (the kg_pagerank
+    precedent), with per-salt arrays bounded to cluster_size/n_salts.
+
+    Deterministic seeds: init = the vectors with ids `seed_ids`
+    (default: the k smallest ids); fixed n_iter (no data-dependent
+    stopping). Empty cells keep their previous centroid. Returns the
+    centroids as plain lists (broadcast-literal sized)."""
     if seed_ids is None:
         seed_ids = [
             r[0]
@@ -342,19 +354,53 @@ def kmeans_fit(
     ]
     assert len(cents) == k, "seed ids must exist"
     e = F.col("embedding")
+
+    def _seq_fold(sort_key: Column, val: Column) -> Column:
+        # sequential left-to-right double sum over sort_key order,
+        # seeded 0.0 — the cross-engine bit-exact fold shape
+        return F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(sort_key.alias("i"), val.alias("v"))
+                    )
+                ),
+                lambda s: s.getField("v"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
     for _ in range(n_iter):
         # squared-L2 distance to each centroid, as literal-folded exprs
         assigned = emb.select(
-            _nearest_literal_centroid(e, cents, dim).alias("cell"), "embedding"
+            F.col(id_col),
+            _nearest_literal_centroid(e, cents, dim).alias("cell"),
+            "embedding",
         )
-        sums = (
-            assigned.select(
-                "cell", F.posexplode(e).alias("dim_idx", "val")
+        vals = assigned.select(
+            F.col(id_col),
+            "cell",
+            F.posexplode(e).alias("dim_idx", "val"),
+        ).withColumn("val", F.col("val").cast("double"))
+        if ordered:
+            p1 = vals.withColumn(
+                "salt", F.pmod(F.col(id_col), F.lit(n_salts))
+            ).groupBy("cell", "dim_idx", "salt").agg(
+                _seq_fold(F.col(id_col), F.col("val")).alias("psum"),
+                F.count(F.lit(1)).alias("pcnt"),
             )
-            .groupBy("cell", "dim_idx")
-            .agg(F.avg(F.col("val").cast("double")).alias("m"))
-            .collect()
-        )
+            upd = p1.groupBy("cell", "dim_idx").agg(
+                (
+                    _seq_fold(F.col("salt"), F.col("psum"))
+                    / F.sum("pcnt")
+                ).alias("m")
+            )
+        else:
+            upd = vals.groupBy("cell", "dim_idx").agg(
+                F.avg("val").alias("m")
+            )
+        sums = upd.collect()
         new_cents = [list(c) for c in cents]
         for r in sums:
             new_cents[r["cell"]][r["dim_idx"]] = float(r["m"])

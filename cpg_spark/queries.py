@@ -3342,16 +3342,102 @@ FROM (SELECT DISTINCT q_id FROM truth) q LEFT JOIN m USING (q_id)
 """
 
 
+_KMEANS_ITER = 3
+_KMEANS_SALTS = 8
+
+
 def q_sim_ivf_kmeans(spark, sf_dir):
     """The trained IVF path: Lloyd's k-means fit (deterministic seeds,
-    fixed iterations — iterative, hence no SQL oracle; the driver records
-    the rows-only check) followed by literal-centroid cell assignment.
-    Completes ivf_assign's 'centroids from a k-means fit' story."""
+    fixed iterations, ordered salted-fold centroid updates) followed by
+    literal-centroid cell assignment. r6: the kg_pagerank precedent
+    applied — a fixed-iteration loop IS oracle-checkable when every
+    float reduction is a sequential fold both engines replay in the
+    same order, so the generated DuckDB twin below unrolls all three
+    Lloyd's iterations (assign → salted two-phase ordered mean →
+    empty-cell carry) and the driver's rows-only check upgrades to
+    rows+schema+hash. Completes ivf_assign's 'centroids from a k-means
+    fit' story."""
     emb = t_par(spark, sf_dir, "embeddings")
     cents = similarity.kmeans_fit(
-        emb, k=4, dim=_EMB_DIM, n_iter=3, seed_ids=[0, 1, 2, 3]
+        emb,
+        k=4,
+        dim=_EMB_DIM,
+        n_iter=_KMEANS_ITER,
+        seed_ids=[0, 1, 2, 3],
+        ordered=True,
+        n_salts=_KMEANS_SALTS,
     )
     return similarity.ivf_assign_fitted(emb, cents, dim=_EMB_DIM)
+
+
+def _kmeans_sql_twin(k: int, dim: int, n_iter: int, n_salts: int) -> str:
+    """Generated DuckDB twin of kmeans_fit(ordered=True) + final
+    assignment: the three fixed Lloyd's iterations unrolled as CTE
+    pairs (argmin assignment with the dimension-ordered squared-L2
+    chain; centroid update as the salted two-phase sequential fold —
+    values fold in vec_id order per (cell, dim, vec_id % n_salts),
+    partials fold in salt order, one division by the count), with
+    LEFT JOIN COALESCE for the empty-cell carry. Bit-exact vs the
+    Spark loop: both engines add the identical doubles in the
+    identical order (the kg_pagerank fold rule)."""
+    ctes = [
+        "e AS (\n"
+        "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        " AS emb\n  FROM embeddings\n)",
+        f"c0 AS (\n"
+        f"  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)"
+        f" AS cell, emb\n  FROM e WHERE vec_id < {k}\n)",
+    ]
+    for i in range(1, n_iter + 1):
+        prev = f"c{i - 1}"
+        ctes.append(
+            f"a{i} AS (\n"
+            f"  SELECT e.vec_id, e.emb, c.cell FROM e CROSS JOIN {prev} c\n"
+            f"  QUALIFY row_number() OVER (PARTITION BY e.vec_id"
+            f" ORDER BY {_L2_SQL}, c.cell) = 1\n)"
+        )
+        ctes.append(
+            f"u{i}p AS (\n"
+            f"  SELECT cell, d, vec_id % {n_salts} AS salt,\n"
+            f"         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),\n"
+            f"           list(emb[d] ORDER BY vec_id)), (a, b) -> a + b)"
+            f" AS psum,\n"
+            f"         COUNT(*) AS pcnt\n"
+            f"  FROM a{i}, unnest(range(1, {dim + 1})) AS td(d)\n"
+            f"  GROUP BY cell, d, salt\n)"
+        )
+        ctes.append(
+            f"u{i} AS (\n"
+            f"  SELECT cell, d,\n"
+            f"         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),\n"
+            f"           list(psum ORDER BY salt)), (a, b) -> a + b)"
+            f" / SUM(pcnt) AS m\n"
+            f"  FROM u{i}p GROUP BY cell, d\n)"
+        )
+        ctes.append(
+            f"c{i} AS (\n"
+            f"  SELECT cell, list(COALESCE(m, prev) ORDER BY d) AS emb"
+            f" FROM (\n"
+            f"    SELECT p.cell, td.d AS d, p.emb[td.d] AS prev, u.m\n"
+            f"    FROM {prev} p CROSS JOIN unnest(range(1, {dim + 1}))"
+            f" AS td(d)\n"
+            f"         LEFT JOIN u{i} u ON u.cell = p.cell AND u.d = td.d\n"
+            f"  ) GROUP BY cell\n)"
+        )
+    ctes.append(
+        f"af AS (\n"
+        f"  SELECT e.vec_id, c.cell FROM e CROSS JOIN c{n_iter} c\n"
+        f"  QUALIFY row_number() OVER (PARTITION BY e.vec_id"
+        f" ORDER BY {_L2_SQL}, c.cell) = 1\n)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT vec_id, cell FROM af"
+    )
+
+
+SQL_SIM_IVF_KMEANS = _kmeans_sql_twin(
+    k=4, dim=_EMB_DIM, n_iter=_KMEANS_ITER, n_salts=_KMEANS_SALTS
+)
 
 
 def _pq_recall_df(spark, sf_dir, codebook):
@@ -4360,7 +4446,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kg_url_curation": (q_kg_url_curation, SQL_KG_URL_CURATION),
     "dd_anchor_dedup": (q_dd_anchor_dedup, SQL_DD_ANCHOR_DEDUP),
     "ts_gopher_quality": (q_ts_gopher_quality, SQL_TS_GOPHER_QUALITY),
-    "sim_ivf_kmeans": (q_sim_ivf_kmeans, None),  # SQL twin lands below (r6)
+    "sim_ivf_kmeans": (q_sim_ivf_kmeans, SQL_SIM_IVF_KMEANS),
     "mm_pixel_stats": (q_mm_pixel_stats, SQL_MM_PIXEL_STATS),
     # --- tier 2: one green row (r5) -------------------------------------
     "kg_jsonld_graph": (q_kg_jsonld_graph, SQL_KG_JSONLD_GRAPH),

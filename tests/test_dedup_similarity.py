@@ -503,6 +503,33 @@ def test_kmeans_fit_recovers_planted_clusters(spark):
         assert all(abs(g - e) < 1e-6 for g, e in zip(got, exp)), (got, exp)
 
 
+def test_kmeans_ordered_fold_modes(spark):
+    """The ordered/combinable update-fold contract (the pagerank
+    precedent applied to kmeans_fit): ordered=True computes each
+    centroid mean as a salted two-phase sequential fold that is
+    BIT-IDENTICAL at any parallelism (asserted across repartitioned
+    inputs and across n_salts), and agrees with the combinable avg to
+    float tolerance."""
+    import random
+
+    rng = random.Random(42)
+    rows = [
+        (vid, [rng.uniform(-1, 1) for _ in range(4)]) for vid in range(97)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(k=3, dim=4, n_iter=3, seed_ids=[0, 1, 2])
+    ordered_1 = similarity.kmeans_fit(df, ordered=True, **kw)
+    ordered_2 = similarity.kmeans_fit(
+        df.repartition(13, "vec_id"), ordered=True, **kw
+    )
+    assert ordered_1 == ordered_2  # bit-identical across partitionings
+    ordered_3 = similarity.kmeans_fit(df, ordered=True, n_salts=3, **kw)
+    combinable = similarity.kmeans_fit(df, ordered=False, **kw)
+    for a, b in ((ordered_1, ordered_3), (ordered_1, combinable)):
+        for ca, cb in zip(a, b):
+            assert all(abs(x - y) < 1e-9 for x, y in zip(ca, cb))
+
+
 def test_contamination_flags_planted(spark):
     """Planted corpus: a doc sharing a 3-gram with the benchmark is
     flagged with the right hit count; clean and shingle-less docs

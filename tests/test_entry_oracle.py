@@ -26,9 +26,9 @@ def test_contract_shape():
     # every oracle key must be a query key
     assert set(oracles) <= set(qs)
     # only genuinely iterative / non-SQL-expressible ops may be rows-only
-    rows_only_allowed = {
-        "sim_ivf_kmeans", "sim_pq_trained_recall", "sim_pq_trained_cmp",
-    }
+    # (sim_ivf_kmeans graduated to a full SQL twin in r6)
+    rows_only_allowed = {"sim_pq_trained_recall", "sim_pq_trained_cmp"}
+    assert "sim_ivf_kmeans" in oracles
     assert set(qs) - set(oracles) <= rows_only_allowed
 
 
