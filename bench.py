@@ -68,7 +68,8 @@ HEADLINE = [
     "dd_anchor_dedup",
     "mm_payload_dedup",
     "ts_gopher_quality",
-    "kg_pagerank",
+    # kg_pagerank is benched separately on the real 100k-page triple
+    # graph (r6), not via its 8-node oracle fixture — see main()
     "kg_url_curation",
     "kg_jsonld_graph",
     # round-5 late additions: multi-source fusion, graph snapshot diff,
@@ -198,6 +199,20 @@ def main() -> None:
     # isn't charged for one-time compilation
     force(QUERIES["pass_stats_agg"][0](spark, sf_dir))
 
+    # pinned SENTINEL (r5 verdict ask #8): ts_fingerprint's plan is
+    # unchanged since r2 — measured FIRST every run (min of 3, still
+    # effectively warmup-adjacent: one small query, no heap pressure),
+    # and queries_normalized below divides every timing by it so
+    # cross-round comparisons cancel this VM's ±25% ambient weather.
+    sentinel_name = "ts_fingerprint"
+    sentinel_sec = float("inf")
+    for _ in range(3):
+        t0 = time.monotonic()
+        force(QUERIES[sentinel_name][0](spark, sf_dir))
+        sentinel_sec = min(sentinel_sec, time.monotonic() - t0)
+        spark.catalog.clearCache()
+    sentinel_sec = round(sentinel_sec, 3)
+
     # KG pipeline FIRST, right after warmup (r3 finding: measuring it
     # after ~30 interleaved queries inherits a fragmented JVM heap and
     # depressed the north-rule number by up to 40% run-to-run; the
@@ -219,6 +234,43 @@ def main() -> None:
         spark.catalog.clearCache()
     kg_sec = round(kg_sec, 3)
     timings["kg_pipeline"] = kg_sec
+
+    # kg_pagerank on the REAL kg edge output (r5 verdict ask #3): the
+    # oracle fixture ranks an 8-node graph, which measures stage-launch
+    # overhead, not the operator. Here the full triple graph of the
+    # 100k-page corpus (urls + entities as nodes: mentions,
+    # co_occurs_with, typed_as, linked_to edges weighted by evidence)
+    # is materialized once and ranked in the documented web-scale mode
+    # (ordered=False — combinable sums), 5 iterations.
+    from pyspark.sql import functions as F
+
+    from cpg_spark.operators.graphrank import pagerank
+
+    triples_path = os.path.join(bench_dir, f"triples_{n_pages}.parquet")
+    if not os.path.exists(triples_path):
+        kg_chain(spark, pages, adict, cache=False).write.mode(
+            "overwrite"
+        ).parquet(triples_path)
+        spark.catalog.clearCache()
+    pr_edges = spark.read.parquet(triples_path).select(
+        F.col("subj").alias("src"),
+        F.col("obj").alias("dst"),
+        F.col("n_evidence").alias("w"),
+    )
+    pr_n_edges = pr_edges.count()  # unmeasured (input cardinality)
+    pr_n_nodes = (
+        pr_edges.select(F.col("src").alias("n"))
+        .unionByName(pr_edges.select(F.col("dst").alias("n")))
+        .distinct()
+        .count()
+    )
+    pr_sec = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        force(pagerank(pr_edges, n_iter=5, weight_col="w", ordered=False))
+        pr_sec = min(pr_sec, time.monotonic() - t0)
+        spark.catalog.clearCache()
+    timings["kg_pagerank"] = round(pr_sec, 3)
 
     # min of 2 runs per query: single runs on this VM vary up to 3x with
     # background contention; min-of-warm-runs is the repo's documented
@@ -244,9 +296,15 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "sentinel": {"name": sentinel_name, "sec": sentinel_sec},
+                "queries_normalized": {
+                    k: round(v / sentinel_sec, 2) for k, v in timings.items()
+                },
                 "sf": sf,
                 "kg_pages": n_pages,
                 "kg_triples": n_triples,
+                "kg_pagerank_nodes": int(pr_n_nodes),
+                "kg_pagerank_edges": int(pr_n_edges),
                 "kg_triples_per_sec": round(n_triples / kg_sec, 1),
                 "kg_pages_per_sec": round(n_pages / kg_sec, 1),
                 "curation_docs_per_sec": cur["docs_per_sec"],

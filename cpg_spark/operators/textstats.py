@@ -300,6 +300,11 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
 # (gate, threshold) pairs of the published MassiveText repetition
 # battery (Rae et al. 2021 Table A1): most-frequent-n-gram coverage for
 # n=2..4, duplicated-n-gram coverage for n=5..10.
+# gram fingerprint fold: multiplier > max token hash (injective
+# pre-mod), modulus = largest 32-bit prime so (P2-1)*M + (M-1) < 2^63
+GRAM_FP_MULT = 1_000_000_007
+GRAM_FP_P = 4_294_967_291
+
 GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
 GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 GOPHER_DUP_LINE_FRAC_MAX = 0.30
@@ -339,151 +344,179 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
     convention: a unit occurring c times contributes c-1 repeated
     occurrences and (c-1)·len chars.
 
-    Scale shape: ONE explode emits every (n, gram, position) for
-    n=2..10, so the nine gram families ride one shuffle keyed by
-    (doc, n, gram) with map-side partial counts; the qualifying grams
-    (per-(doc,n) argmax for n≤4, count>1 for n≥5) join back to their
-    occurrences co-partitioned on the same (doc, n, gram) key, explode
-    to covered positions, and a distinct + position-length join turns
-    the union into exact integer char counts. Everything is combinable
-    aggregation and co-partitioned joins — no windows, no Python.
-    Every fraction is one division of exact integer counts
-    (engine-parity rule); docs with no tokens return NULL gram
-    fractions and repetition_pass=false (unscorable, never silently
-    passing)."""
+    Scale shape: ZERO shuffle — every gate is per-document math, so
+    the whole battery is ONE narrow projection over the corpus scan
+    (embarrassingly parallel; at 10¹² documents nothing ever leaves
+    the executor). Per row: tokens are char-hashed once (O(chars)),
+    each n-gram fingerprint is a fold over n int64 token hashes
+    (`(a·(10⁹+7) + h) mod (2³²−5)` — no gram string is ever
+    materialized), the (fp, pos) pairs are array_sort'ed so counts
+    and the per-n argmax are O(m log m) run-length folds, and exact
+    position-union char coverage is a linear fold over the sorted
+    qualifying starts (intervals all have length n, so each gap
+    contributes min(n, gap) positions — no quadratic mask). Earlier
+    rounds shuffled ~100·|docs| exploded (doc, n, gram, pos) rows
+    through a groupBy + self-join (measured 7.7–8.8 s at sf0.1); the
+    shuffle-free fold shape replaces that with pure scan work.
+    Fingerprint collisions can merge two distinct grams within one
+    (doc, n) family (p ≈ grams²/2³³, ~10⁻⁴ for a 2k-token page —
+    conservative direction: repetition only inflates); the DuckDB
+    twin folds the identical token hashes relationally, so oracle
+    parity is bit-exact regardless. Every fraction is one division
+    of exact integer counts (engine-parity rule); docs with no
+    tokens return NULL fractions and repetition_pass=false
+    (unscorable, never silently passing)."""
+    return _repetition_scored(docs).drop("__t")
+
+
+def _repetition_scored(docs: DataFrame) -> DataFrame:
+    """gopher_repetition's engine; keeps the token array column __t so
+    massivetext_gates can add its word-shape stats in the same
+    zero-shuffle projection chain instead of a second scan + join."""
+    from ..functions.hashing import char_poly_hash_col
+
+    M, P = GRAM_FP_MULT, GRAM_FP_P
+
+    def _gram_cov(n: int, top: bool) -> Column:
+        # covered chars of the qualifying n-gram family, one per-row
+        # expression; single-element transform() calls are pure-SQL
+        # let-bindings so each subtree evaluates exactly once
+        fps = (
+            f"transform(sequence(1, size(__th) - {n} + 1), "
+            f"i -> struct(aggregate(slice(__th, i, {n}), "
+            f"CAST(0 AS BIGINT), (a, h) -> (a * {M} + h) % {P}) AS f, "
+            "i AS p))"
+        )
+        if top:
+            # run-length fold over fp-sorted pairs; strict > keeps the
+            # first (smallest-fp) run on count ties, matching the
+            # oracle's ORDER BY c DESC, fp
+            best = (
+                "aggregate(prs, named_struct("
+                "'cf', CAST(-1 AS BIGINT), 'cc', CAST(0 AS BIGINT), "
+                "'bf', CAST(-1 AS BIGINT), 'bc', CAST(0 AS BIGINT)), "
+                "(s, x) -> if(x.f = s.cf, "
+                "named_struct('cf', s.cf, 'cc', s.cc + CAST(1 AS BIGINT), "
+                "'bf', s.bf, 'bc', s.bc), "
+                "if(s.cc > s.bc, "
+                "named_struct('cf', x.f, 'cc', CAST(1 AS BIGINT), "
+                "'bf', s.cf, 'bc', s.cc), "
+                "named_struct('cf', x.f, 'cc', CAST(1 AS BIGINT), "
+                "'bf', s.bf, 'bc', s.bc))), "
+                "s -> if(s.cc > s.bc, s.cf, s.bf))"
+            )
+            # pairs sort by (f, p): within the best run positions are
+            # already ascending — no re-sort needed
+            qpos = (
+                f"transform(array({best}), bf -> "
+                "transform(filter(prs, x -> x.f = bf), x -> x.p))[0]"
+            )
+        else:
+            # an occurrence qualifies iff its fp has a sorted-order
+            # neighbor with the same fp (count > 1)
+            qpos = (
+                "array_sort(transform(filter(sequence(1, size(prs)), j -> "
+                "(j > 1 AND element_at(prs, j).f = element_at(prs, j - 1).f) "
+                "OR (j < size(prs) "
+                "AND element_at(prs, j).f = element_at(prs, j + 1).f)), "
+                "j -> element_at(prs, j).p))"
+            )
+        # union coverage: starts are sorted and every interval has
+        # length n, so occurrence j contributes exactly the positions
+        # [q_j, min(q_j + n - 1, q_{j+1} - 1)] — a linear fold with a
+        # <= n-wide inner sum of token char lengths
+        cov = (
+            "if(size(qp) = 0, CAST(0 AS BIGINT), "
+            "aggregate(sequence(1, size(qp)), CAST(0 AS BIGINT), "
+            "(acc, j) -> acc + aggregate("
+            "sequence(element_at(qp, j), "
+            f"least(element_at(qp, j) + {n} - 1, "
+            "if(j < size(qp), element_at(qp, j + 1) - 1, size(__th)))), "
+            "CAST(0 AS BIGINT), (a, p) -> a + element_at(__lens, p))))"
+        )
+        return F.expr(
+            f"if(size(__th) < {n}, CAST(0 AS BIGINT), "
+            f"transform(array(array_sort({fps})), prs -> "
+            f"transform(array({qpos}), qp -> {cov})[0])[0])"
+        )
+
+    def _dup_units(col: str) -> str:
+        # run-length fold over the sorted units: occurrence j >= 2 with
+        # s[j] = s[j-1] is a repeat (the first-occurrence-free rule)
+        return (
+            f"transform(array(array_sort({col})), s -> named_struct("
+            "'n', CAST(size(s) AS BIGINT), "
+            "'chars', aggregate(s, CAST(0 AS BIGINT), "
+            "(a, u) -> a + length(u)), "
+            "'dup', if(size(s) < 2, CAST(0 AS BIGINT), "
+            "aggregate(filter(sequence(2, size(s)), "
+            "j -> element_at(s, j) = element_at(s, j - 1)), "
+            "CAST(0 AS BIGINT), (a, j) -> a + CAST(1 AS BIGINT))), "
+            "'dupchars', if(size(s) < 2, CAST(0 AS BIGINT), "
+            "aggregate(filter(sequence(2, size(s)), "
+            "j -> element_at(s, j) = element_at(s, j - 1)), "
+            "CAST(0 AS BIGINT), (a, j) -> a + length(element_at(s, j))))"
+            "))[0]"
+        )
+
     toks = doc_tokens(F.col("text"))
-    base = docs.select("doc_id", "text", toks.alias("__t")).filter(
-        F.size("__t") > 0
-    )
-    chars = base.select(
-        "doc_id",
-        F.aggregate(
-            "__t", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
-        ).alias("__chars"),
-    )
-
-    # -- n-gram families, one explode for n = 2..10 with positions ---
-    gram_expr = F.expr(
-        "flatten(transform(sequence(2, 10), n -> "
-        "  if(size(__t) >= n, "
-        "     transform(sequence(1, size(__t) - n + 1), "
-        "       i -> struct(n AS n, "
-        "                   array_join(slice(__t, i, n), '\x01') AS g, "
-        "                   i AS i)), "
-        "     array())))"
-    )
-    occ = base.select("doc_id", F.explode(gram_expr).alias("x")).select(
-        "doc_id", "x.n", "x.g", "x.i"
-    )
-    cnt = occ.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
-    top = (
-        cnt.filter(F.col("n") <= 4)
-        .groupBy("doc_id", "n")
-        .agg(
-            F.min(
-                F.struct((-F.col("c")).alias("__nc"), F.col("g").alias("g"))
-            ).alias("__top")
-        )
-        .select("doc_id", "n", F.col("__top.g").alias("g"))
-    )
-    qualifying = cnt.filter((F.col("n") >= 5) & (F.col("c") > 1)).select(
-        "doc_id", "n", "g"
-    ).unionByName(top)
-    # 1-based token positions with their char lengths
-    tok_pos = base.select(
-        "doc_id", F.posexplode("__t").alias("__p0", "__w")
-    ).select(
-        "doc_id",
-        (F.col("__p0") + 1).alias("pos"),
-        F.length("__w").alias("__wl"),
-    )
-    covered = (
-        occ.join(qualifying, ["doc_id", "n", "g"])
-        .select(
+    prepared = (
+        docs.select(
             "doc_id",
-            "n",
-            F.explode(F.sequence(F.col("i"), F.col("i") + F.col("n") - 1)).alias(
-                "pos"
+            toks.alias("__t"),
+            F.filter(
+                F.split(F.col("text"), r"\n"), lambda u: u != ""
+            ).alias("__lnu"),
+            F.filter(
+                F.split(F.col("text"), r"\n{2,}"), lambda u: u != ""
+            ).alias("__pau"),
+        )
+        .withColumn("__th", F.transform("__t", char_poly_hash_col))
+        .withColumn("__lens", F.transform("__t", F.length))
+        .withColumn(
+            "__chars",
+            F.aggregate(
+                "__lens", F.lit(0).cast("long"), lambda a, x: a + x
             ),
         )
-        .distinct()
-        .join(tok_pos, ["doc_id", "pos"])
-        .groupBy("doc_id", "n")
-        .agg(F.sum("__wl").cast("long").alias("__cov"))
+        .withColumn("__ln", F.expr(_dup_units("__lnu")))
+        .withColumn("__pa", F.expr(_dup_units("__pau")))
     )
-    # pivot the ≤9 rows per doc back to columns (combinable max-of-when)
-    gram_cols = covered.groupBy("doc_id").agg(
-        *[
-            F.max(F.when(F.col("n") == n, F.col("__cov"))).alias(
-                f"__topchars_{n}"
-            )
+
+    has = F.size("__t") > 0
+
+    def _frac(num: Column, den: Column) -> Column:
+        # x/0 and NULL/x are NULL -> 0.0; token-less docs stay NULL
+        return F.when(has, F.coalesce(num / den, F.lit(0.0)))
+
+    fracs = {
+        "dup_line_frac": _frac(F.col("__ln.dup"), F.col("__ln.n")),
+        "dup_line_char_frac": _frac(
+            F.col("__ln.dupchars"), F.col("__ln.chars")
+        ),
+        "dup_para_frac": _frac(F.col("__pa.dup"), F.col("__pa.n")),
+        "dup_para_char_frac": _frac(
+            F.col("__pa.dupchars"), F.col("__pa.chars")
+        ),
+        **{
+            f"top_{n}gram_frac": _frac(_gram_cov(n, True), F.col("__chars"))
             for n in sorted(GOPHER_TOP_NGRAM_MAX)
-        ],
-        *[
-            F.max(F.when(F.col("n") == n, F.col("__cov"))).alias(
-                f"__dupchars_{n}"
+        },
+        **{
+            f"dup_{n}gram_char_frac": _frac(
+                _gram_cov(n, False), F.col("__chars")
             )
             for n in sorted(GOPHER_DUP_NGRAM_MAX)
-        ],
+        },
+    }
+    # fracs land in their own projection; the gate references them by
+    # NAME so no gram fold is ever evaluated twice (CollapseProject
+    # declines to inline multiply-referenced non-cheap aliases)
+    scored = prepared.select(
+        "doc_id",
+        "__t",
+        *[expr.alias(name) for name, expr in fracs.items()],
     )
-
-    # -- duplicate lines / paragraphs --------------------------------
-    def _dup_units(sep_regex: str, prefix: str) -> DataFrame:
-        units = docs.select(
-            "doc_id",
-            F.explode(
-                F.filter(
-                    F.split(F.col("text"), sep_regex), lambda u: u != ""
-                )
-            ).alias("u"),
-        )
-        uc = units.groupBy("doc_id", "u").agg(F.count(F.lit(1)).alias("c"))
-        return uc.groupBy("doc_id").agg(
-            F.sum("c").cast("long").alias(f"__{prefix}_n"),
-            F.sum(F.col("c") * F.length("u")).cast("long").alias(
-                f"__{prefix}_chars"
-            ),
-            F.sum(F.col("c") - 1).cast("long").alias(f"__{prefix}_dup"),
-            F.sum((F.col("c") - 1) * F.length("u")).cast("long").alias(
-                f"__{prefix}_dupchars"
-            ),
-        )
-
-    lines = _dup_units(r"\n", "ln")
-    paras = _dup_units(r"\n{2,}", "pa")
-
-    joined = (
-        chars.join(gram_cols, "doc_id", "left")
-        .join(lines, "doc_id", "left")
-        .join(paras, "doc_id", "left")
-    )
-
-    def _frac(num, den):
-        return F.coalesce(num / den, F.lit(0.0))
-
-    out_cols = [
-        _frac(F.col("__ln_dup"), F.col("__ln_n")).alias("dup_line_frac"),
-        _frac(F.col("__ln_dupchars"), F.col("__ln_chars")).alias(
-            "dup_line_char_frac"
-        ),
-        _frac(F.col("__pa_dup"), F.col("__pa_n")).alias("dup_para_frac"),
-        _frac(F.col("__pa_dupchars"), F.col("__pa_chars")).alias(
-            "dup_para_char_frac"
-        ),
-        *[
-            _frac(F.col(f"__topchars_{n}"), F.col("__chars")).alias(
-                f"top_{n}gram_frac"
-            )
-            for n in sorted(GOPHER_TOP_NGRAM_MAX)
-        ],
-        *[
-            _frac(F.col(f"__dupchars_{n}"), F.col("__chars")).alias(
-                f"dup_{n}gram_char_frac"
-            )
-            for n in sorted(GOPHER_DUP_NGRAM_MAX)
-        ],
-    ]
-    scored = joined.select("doc_id", *out_cols)
     gate = (
         (F.col("dup_line_frac") <= GOPHER_DUP_LINE_FRAC_MAX)
         & (F.col("dup_line_char_frac") <= GOPHER_DUP_LINE_CHAR_MAX)
@@ -494,18 +527,8 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
         gate = gate & (F.col(f"top_{n}gram_frac") <= thr)
     for n, thr in sorted(GOPHER_DUP_NGRAM_MAX.items()):
         gate = gate & (F.col(f"dup_{n}gram_char_frac") <= thr)
-    scored = scored.withColumn("repetition_pass", gate)
-    frac_names = [c for c in scored.columns if c not in ("doc_id",)]
-    return (
-        docs.select("doc_id")
-        .join(scored, "doc_id", "left")
-        .select(
-            "doc_id",
-            *[c for c in frac_names if c != "repetition_pass"],
-            F.coalesce("repetition_pass", F.lit(False)).alias(
-                "repetition_pass"
-            ),
-        )
+    return scored.withColumn(
+        "repetition_pass", F.coalesce(gate, F.lit(False))
     )
 
 
@@ -526,36 +549,48 @@ def massivetext_gates(docs: DataFrame) -> DataFrame:
                                 shape gates 50 ≤ n_tokens ≤ 100000,
                                 3 ≤ mean_word_len ≤ 10
 
-    Token-less documents: n_tokens=0, NULL signals, both passes false."""
-    toks = doc_tokens(F.col("text"))
-    base = docs.select("doc_id", toks.alias("__t")).filter(F.size("__t") > 0)
-    wc = (
-        base.select("doc_id", F.explode("__t").alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
+    Token-less documents: n_tokens=0, NULL signals, both passes false.
+
+    Scale shape: zero shuffle end to end — the shape stats are per-row
+    folds over the token array (mean = Σlen/n; the top-word count is a
+    run-length fold over array_sort(__t)), appended to
+    _repetition_scored's projection chain, so the full 15-signal
+    verdict is ONE narrow scan projection over the corpus."""
+    rep = _repetition_scored(docs)
+    has = F.size("__t") > 0
+    n_tok = F.size("__t").cast("long")
+    sum_len = F.aggregate(
+        "__t", F.lit(0).cast("long"), lambda a, w: a + F.length(w)
     )
-    shape = wc.groupBy("doc_id").agg(
-        F.sum("c").cast("long").alias("n_tokens"),
-        (F.sum(F.col("c") * F.length("w")) / F.sum("c")).alias("mean_word_len"),
-        (F.max("c") / F.sum("c")).alias("frac_top_word"),
+    # max occurrence count of any single token: run-length fold over the
+    # sorted array (cw = current word, cc = current run, bc = best run)
+    top_c = F.expr(
+        "transform(array(array_sort(__t)), s -> "
+        "aggregate(s, named_struct("
+        "'cw', '', 'cc', CAST(0 AS BIGINT), 'bc', CAST(0 AS BIGINT)), "
+        "(st, w) -> named_struct("
+        "'cw', w, "
+        "'cc', if(w = st.cw, st.cc + CAST(1 AS BIGINT), CAST(1 AS BIGINT)), "
+        "'bc', greatest(st.bc, "
+        "if(w = st.cw, st.cc + CAST(1 AS BIGINT), CAST(1 AS BIGINT)))), "
+        "st -> st.bc))[0]"
     )
-    rep = gopher_repetition(docs)
-    shape_gate = F.col("n_tokens").between(50, 100_000) & F.col(
-        "mean_word_len"
-    ).between(3.0, 10.0)
-    return (
-        rep.join(shape, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-            "mean_word_len",
-            "frac_top_word",
-            *[c for c in rep.columns if c not in ("doc_id", "repetition_pass")],
-            "repetition_pass",
-            (
-                F.coalesce(shape_gate, F.lit(False)) & F.col("repetition_pass")
-            ).alias("gopher_pass"),
-        )
+    mean_word_len = F.when(has, sum_len / n_tok)
+    shape_gate = n_tok.between(50, 100_000) & mean_word_len.between(3.0, 10.0)
+    rep_cols = [
+        c for c in rep.columns
+        if c not in ("doc_id", "__t", "repetition_pass")
+    ]
+    return rep.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        F.when(has, top_c / n_tok).alias("frac_top_word"),
+        *rep_cols,
+        "repetition_pass",
+        (
+            F.coalesce(shape_gate, F.lit(False)) & F.col("repetition_pass")
+        ).alias("gopher_pass"),
     )
 
 

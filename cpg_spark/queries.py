@@ -4261,18 +4261,24 @@ WITH tk AS (
          MAX(c) / SUM(c) AS frac_top_word,
          CAST(SUM(c * len(w)) AS BIGINT) AS chars
   FROM wc GROUP BY doc_id
+), nzh AS (
+  SELECT doc_id, toks, list_transform(toks, t -> {char_poly_hash_sql("t")}) AS th
+  FROM nz
 ), occ AS (
-  SELECT doc_id, n, array_to_string(toks[i : i + n - 1], chr(1)) AS g, i
-  FROM nz CROSS JOIN unnest([{", ".join(map(str, _GOPHER_TOP_NS + _GOPHER_DUP_NS))}]) AS tn(n),
-       unnest(range(1, len(toks) - n + 2)) AS ti(i)
+  SELECT doc_id, n,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), th[i : i + n - 1]),
+                     (a, h) -> (a * CAST({textstats.GRAM_FP_MULT} AS BIGINT) + h)
+                               % CAST({textstats.GRAM_FP_P} AS BIGINT)) AS fp, i
+  FROM nzh CROSS JOIN unnest([{", ".join(map(str, _GOPHER_TOP_NS + _GOPHER_DUP_NS))}]) AS tn(n),
+       unnest(range(1, len(th) - n + 2)) AS ti(i)
 ), cnt AS (
-  SELECT doc_id, n, g, COUNT(*) AS c FROM occ GROUP BY 1, 2, 3
+  SELECT doc_id, n, fp, COUNT(*) AS c FROM occ GROUP BY 1, 2, 3
 ), qual AS (
-  SELECT doc_id, n, g FROM cnt WHERE n >= 5 AND c > 1
+  SELECT doc_id, n, fp FROM cnt WHERE n >= 5 AND c > 1
   UNION ALL
-  SELECT doc_id, n, g FROM (
-    SELECT doc_id, n, g,
-           row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, g) AS rn
+  SELECT doc_id, n, fp FROM (
+    SELECT doc_id, n, fp,
+           row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, fp) AS rn
     FROM cnt WHERE n <= 4) WHERE rn = 1
 ), tokpos AS (
   SELECT doc_id, i AS pos, len(toks[i]) AS wl
@@ -4280,7 +4286,7 @@ WITH tk AS (
 ), cov AS (
   SELECT doc_id, n, CAST(SUM(wl) AS BIGINT) AS cov FROM (
     SELECT DISTINCT o.doc_id, o.n, p AS pos
-    FROM occ o JOIN qual q USING (doc_id, n, g),
+    FROM occ o JOIN qual q USING (doc_id, n, fp),
          unnest(range(i, i + n)) AS tp(p)
   ) cp JOIN tokpos USING (doc_id, pos)
   GROUP BY doc_id, n
