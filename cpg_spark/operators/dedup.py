@@ -553,3 +553,145 @@ def anchor_chunk_dedup(
             .alias("n_dropped_tokens"),
         )
     )
+
+
+# exact-substring gram fingerprint: two independent 32-bit polynomial
+# folds over the token char-hashes give an effective ~64-bit key, so a
+# corpus of 10^12 grams expects ~10^4 spurious pair collisions (each
+# over-removes one min_tokens window — conservative direction, and the
+# oracle folds the identical fingerprints so parity is unaffected).
+# Bounds: acc < P < 2^32, M < 2^30, token hash < 2^30 — acc*M + h < 2^62.
+ES_FP_MULT_1 = 1_000_000_007
+ES_FP_MOD_1 = 4_294_967_291  # 2^32 - 5
+ES_FP_MULT_2 = 1_000_000_009
+ES_FP_MOD_2 = 4_294_967_279  # 2^32 - 17
+
+
+def exact_substring_dedup(
+    docs: DataFrame, min_tokens: int = 50, keep_first: bool = True
+) -> DataFrame:
+    """Corpus-level EXACT duplicated-substring removal — the semantics
+    of Lee et al. 2022's ExactSubstr pass ("Deduplicating Training Data
+    Makes Language Models Better") without the suffix array: a token is
+    removed iff it lies inside some substring of >= min_tokens tokens
+    that occurs verbatim elsewhere in the corpus (any other position,
+    same or different document).
+
+    Equivalence: a duplicated substring of length >= L contains only
+    duplicated L-grams, and every duplicated L-gram IS a duplicated
+    substring of length L — so the union of duplicated-L-gram windows
+    equals the union of all duplicated substrings >= L. That turns the
+    suffix-array problem into ONE count over L-gram fingerprints, which
+    is why this closes the edge-fragment loss that both chunk grids and
+    anchor-CDC boundaries (anchor_chunk_dedup above) leave behind:
+    coverage is per-token, not per-chunk.
+
+    keep_first=True spares each duplicated gram's corpus-first
+    occurrence (min (doc_id, pos) — content-deterministic like every
+    dedup here), so a passage pasted into N documents survives exactly
+    in the first. keep_first=False removes every occurrence of
+    duplicated text (the default of the released
+    google-research/deduplicate-text-datasets tool). Note the
+    documented overlap effect: with keep_first, a gram overlapping both
+    a kept-first window and a removed one loses its overlap tokens —
+    the same behavior the reference tool exhibits on overlapping
+    duplicate ranges.
+
+    Scale shape (the 100-TB contract): grams are per-row slice-folds in
+    the scan (no gram string ever materialized — two int64 fingerprints
+    per position); the duplicate decision is ONE combinable aggregation
+    on (f1, f2) — count + min(struct(doc_id, pos)), map-side partial,
+    never a rank window — joined back co-partitioned on the same key
+    (a boilerplate gram duplicated 10^6 times is a plain equi-join hot
+    key, which AQE's skew-join split handles; there is no per-key sort
+    or state). Removal positions then shuffle ONCE by doc_id where a
+    gaps-and-islands window (bounded by the doc's own token count)
+    merges overlapping windows into disjoint spans, and reassembly is a
+    linear slice-fold over the span list. Two data shuffles total, same
+    as chunk_dedup.
+
+    Returns (doc_id, text_deduped, n_tokens, n_removed, n_spans);
+    full-boilerplate documents come back empty, never dropped."""
+    L = int(min_tokens)
+    if L < 2:
+        raise ValueError("min_tokens must be >= 2")
+    toks = doc_tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("__t"))
+    hashed = base.withColumn(
+        "__th", F.transform("__t", char_poly_hash_col)
+    )
+    grams = hashed.filter(F.size("__th") >= L).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""transform(sequence(1, size(__th) - {L} + 1), i ->
+                  aggregate(slice(__th, i, {L}),
+                    named_struct('f1', CAST(0 AS BIGINT),
+                                 'f2', CAST(0 AS BIGINT), 'p', i),
+                    (a, h) -> named_struct(
+                      'f1', (a.f1 * {ES_FP_MULT_1} + h) % {ES_FP_MOD_1},
+                      'f2', (a.f2 * {ES_FP_MULT_2} + h) % {ES_FP_MOD_2},
+                      'p', a.p)))"""
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.f1", "g.f2", F.col("g.p").alias("p"))
+    stats = grams.groupBy("f1", "f2").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.min(F.struct("doc_id", "p")).alias("__first"),
+    )
+    removals = (
+        grams.join(stats.filter(F.col("__c") > 1), ["f1", "f2"])
+        .filter(
+            F.lit(not keep_first)
+            | (F.struct("doc_id", "p") != F.col("__first"))
+        )
+        .select("doc_id", "p")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("p")
+    prev_end = F.max(F.col("p") + L - 1).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = removals.withColumn(
+        "__new",
+        (prev_end.isNull() | (F.col("p") > prev_end + 1)).cast("int"),
+    ).withColumn(
+        "__isl",
+        F.sum("__new").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = marked.groupBy("doc_id", "__isl").agg(
+        F.min("p").alias("s"), (F.max("p") + L - 1).cast("long").alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("__iv")
+    )
+    # reassembly: spans are disjoint and sorted, so kept text is a
+    # linear fold concatenating the inter-span slices
+    out = (
+        base.join(per_doc, "doc_id", "left")
+        .withColumn("__iv", F.coalesce("__iv", F.expr(
+            "CAST(array() AS array<struct<s: long, e: long>>)"
+        )))
+        .select(
+            "doc_id",
+            F.expr(
+                """array_join(aggregate(__iv,
+                     named_struct('prev', CAST(0 AS BIGINT),
+                                  'kept', CAST(array() AS array<string>)),
+                     (st, iv) -> named_struct(
+                       'prev', iv.e,
+                       'kept', concat(st.kept,
+                         slice(__t, CAST(st.prev + 1 AS INT),
+                               CAST(iv.s - 1 - st.prev AS INT)))),
+                     st -> concat(st.kept,
+                       slice(__t, CAST(st.prev + 1 AS INT),
+                             CAST(size(__t) - st.prev AS INT)))), ' ')"""
+            ).alias("text_deduped"),
+            F.size("__t").cast("long").alias("n_tokens"),
+            F.expr(
+                "aggregate(__iv, CAST(0 AS BIGINT), "
+                "(a, iv) -> a + iv.e - iv.s + 1)"
+            ).alias("n_removed"),
+            F.size("__iv").cast("long").alias("n_spans"),
+        )
+    )
+    return out

@@ -4545,3 +4545,99 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sa_grammar_accept": (q_sa_grammar_accept, SQL_SA_GRAMMAR_ACCEPT),
     "sa_dfg_grammar": (q_sa_dfg_grammar, SQL_SA_DFG_GRAMMAR),
 }
+
+
+# ---------------------------------------------------------------------------
+# r7 window candidates — added in r6 AFTER the window budget was spent on the
+# judge-ordered stale rotation. Zero driver rows yet by construction (the
+# driver grades only the first 50 entries); each is verified this round via
+# scripts/check_oracles.py at sf0.01 (the driver-identical gate, output
+# committed) plus pytest goldens, and rotates into the window in r7.
+# Declared in R7_CANDIDATES (exported) so the schedule guard test can hold
+# them to the candidates contract instead of the thrice-green tail contract.
+
+
+def q_dd_exactsubstr(spark, sf_dir):
+    """Lee et al. 2022 ExactSubstr semantics (dedup.exact_substring_dedup):
+    every token inside a >=20-token substring that occurs verbatim
+    anywhere else in the corpus is removed, sparing each duplicated
+    gram's corpus-first occurrence. The oracle replays the two-family
+    gram fingerprints, keep-first ranking, island merge, and positional
+    reassembly relationally."""
+    from .operators import dedup as dd
+
+    return dd.exact_substring_dedup(
+        t_par(spark, sf_dir, "documents"), min_tokens=_ES_L
+    )
+
+
+_ES_L = 20
+
+SQL_DD_EXACTSUBSTR = f"""
+WITH tk AS (
+  SELECT doc_id, {TOKEN_SQL} AS toks FROM documents
+), th AS (
+  SELECT doc_id, toks,
+         list_transform(toks, t -> {char_poly_hash_sql("t")}) AS h
+  FROM tk
+), grams AS (
+  SELECT doc_id, i AS p,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), h[i : i + {_ES_L - 1}]),
+                     (a, x) -> (a * {dedup.ES_FP_MULT_1} + x) % {dedup.ES_FP_MOD_1}) AS f1,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), h[i : i + {_ES_L - 1}]),
+                     (a, x) -> (a * {dedup.ES_FP_MULT_2} + x) % {dedup.ES_FP_MOD_2}) AS f2
+  FROM th, unnest(range(1, len(h) - {_ES_L} + 2)) AS t(i)
+  WHERE len(h) >= {_ES_L}
+), ranked AS (
+  SELECT doc_id, p,
+         row_number() OVER (PARTITION BY f1, f2 ORDER BY doc_id, p) AS rn
+  FROM grams
+), rem AS (
+  SELECT doc_id, p FROM ranked WHERE rn > 1
+), marked AS (
+  SELECT doc_id, p,
+         CASE WHEN max(p) OVER (PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                + {_ES_L} >= p
+              THEN 0 ELSE 1 END AS newisl
+  FROM rem
+), isl AS (
+  SELECT doc_id, p,
+         SUM(newisl) OVER (PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM marked
+), spans AS (
+  SELECT doc_id, MIN(p) AS s, MAX(p) + {_ES_L} - 1 AS e
+  FROM isl GROUP BY doc_id, g
+), pos AS (
+  SELECT doc_id, i AS p, toks[i] AS w
+  FROM tk, unnest(range(1, len(toks) + 1)) AS t(i)
+), keptagg AS (
+  SELECT pos.doc_id, string_agg(w, ' ' ORDER BY p) AS text_deduped
+  FROM pos
+  WHERE NOT EXISTS (SELECT 1 FROM spans
+                    WHERE spans.doc_id = pos.doc_id
+                      AND pos.p BETWEEN spans.s AND spans.e)
+  GROUP BY pos.doc_id
+), spanagg AS (
+  SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS n_removed,
+         CAST(COUNT(*) AS BIGINT) AS n_spans
+  FROM spans GROUP BY doc_id
+)
+SELECT tk.doc_id,
+       COALESCE(k.text_deduped, '') AS text_deduped,
+       CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(sa.n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(COALESCE(sa.n_spans, 0) AS BIGINT) AS n_spans
+FROM tk
+LEFT JOIN keptagg k USING (doc_id)
+LEFT JOIN spanagg sa USING (doc_id)
+"""
+
+R7_CANDIDATES: tuple[str, ...] = (
+    "dd_exactsubstr",
+)
+
+QUERIES.update({
+    "dd_exactsubstr": (q_dd_exactsubstr, SQL_DD_EXACTSUBSTR),
+})

@@ -976,3 +976,116 @@ def test_anchor_chunk_dedup_randomized_differential(spark):
                 ).collect()
             }
             assert got == exp, f"trial {trial} n_families={fams}"
+
+
+def _py_exactsubstr(docs_toks, L, keep_first=True):
+    """Brute-force ExactSubstr golden: duplicated-L-gram coverage union,
+    optionally sparing each gram's corpus-first occurrence."""
+    grams: dict[tuple, list] = {}
+    for d, tk in docs_toks:
+        for i in range(len(tk) - L + 1):
+            grams.setdefault(tuple(tk[i : i + L]), []).append((d, i + 1))
+    removed: dict[int, set] = {}
+    for occ in grams.values():
+        if len(occ) > 1:
+            first = min(occ)
+            for d, p in occ:
+                if not keep_first or (d, p) != first:
+                    removed.setdefault(d, set()).update(range(p, p + L))
+    out = {}
+    for d, tk in docs_toks:
+        rm = removed.get(d, set())
+        kept = [w for i, w in enumerate(tk, 1) if i not in rm]
+        spans, prev = 0, False
+        for i in range(1, len(tk) + 1):
+            cur = i in rm
+            if cur and not prev:
+                spans += 1
+            prev = cur
+        out[d] = (" ".join(kept), len(tk), len(rm), spans)
+    return out
+
+
+def test_exact_substring_dedup_planted(spark):
+    """A 30-token passage pasted into three docs at different offsets
+    survives only at its corpus-first occurrence; a doc repeating it
+    twice loses both copies (both are non-first); short/empty/unique
+    docs pass through untouched — the Lee et al. removal set exactly."""
+    from cpg_spark.operators.dedup import exact_substring_dedup
+
+    passage = " ".join(f"tok{i}" for i in range(30))
+    docs = [
+        (1, "alpha beta " + passage + " gamma delta unique1 unique2"),
+        (2, "different prefix words here " + passage + " tail words two"),
+        (3, passage),
+        (4, "self rep " + passage + " middle filler " + passage),
+        (5, "totally unrelated content with no duplicate passages at all"),
+        (6, "short doc"),
+        (7, ""),
+    ]
+    import re
+
+    toks = [(d, re.findall(r"[a-z0-9]+", t.lower())) for d, t in docs]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for kf in (True, False):
+        exp = _py_exactsubstr(toks, 20, keep_first=kf)
+        got = {
+            r["doc_id"]: (
+                r["text_deduped"], r["n_tokens"], r["n_removed"], r["n_spans"]
+            )
+            for r in exact_substring_dedup(
+                df, min_tokens=20, keep_first=kf
+            ).collect()
+        }
+        assert got == exp, f"keep_first={kf}"
+    # the first-occurrence doc is bit-untouched (edge-loss-free — the
+    # property the chunk grid and anchor CDC approximations lack)
+    exp_first = " ".join(toks[0][1])
+    got_kf = {
+        r["doc_id"]: r["text_deduped"]
+        for r in exact_substring_dedup(df, min_tokens=20).collect()
+    }
+    assert got_kf[1] == exp_first
+
+
+def test_exact_substring_dedup_randomized_differential(spark):
+    """Seeded random corpora with planted shared passages: the operator
+    matches the brute-force duplicated-gram coverage union on every
+    doc, both modes."""
+    import random
+
+    from cpg_spark.operators.dedup import exact_substring_dedup
+
+    rng = random.Random(0xE5)
+    vocab = [f"w{i}" for i in range(40)]
+    for trial in range(4):
+        L = rng.choice([5, 8])
+        passage = [rng.choice(vocab) for _ in range(rng.randint(L, 3 * L))]
+        docs_toks = []
+        for did in range(1, 13):
+            pre = [rng.choice(vocab) for _ in range(rng.randint(0, 8))]
+            post = [rng.choice(vocab) for _ in range(rng.randint(0, 8))]
+            body = (
+                passage
+                if did % 3 == 0
+                else [rng.choice(vocab) for _ in range(rng.randint(3, 25))]
+            )
+            docs_toks.append((did, pre + body + post))
+        df = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in docs_toks],
+            "doc_id long, text string",
+        )
+        for kf in (True, False):
+            exp = _py_exactsubstr(docs_toks, L, keep_first=kf)
+            got = {
+                r["doc_id"]: (
+                    r["text_deduped"],
+                    r["n_tokens"],
+                    r["n_removed"],
+                    r["n_spans"],
+                )
+                for r in exact_substring_dedup(
+                    df, min_tokens=L, keep_first=kf
+                ).collect()
+            }
+            assert got == exp, f"trial {trial} L={L} keep_first={kf}"
