@@ -5,15 +5,16 @@ Decode depth is tiered by what the environment allows:
   * HEADER decode is REAL, stdlib-only (struct over the container
     formats): PNG/GIF/BMP/JPEG dimensions, WAV sample rate / channels /
     duration. No PIL/ffmpeg needed.
-  * PIXEL/SAMPLE decode is REAL for the uncompressed containers the
-    stdlib can carry (decode_values / pixel_stats): 24-bit BI_RGB BMP
-    pixel rows (stride padding, BGR order, bottom-up layout) and
-    8/16-bit PCM WAV samples, vectorized with numpy over the raw
-    bytes.
-  * COMPRESSED codecs (PNG/JPEG/GIF pixel data, lossy audio) stay a
-    clearly-marked stub (decode_pixels_stub / error
-    'codec_unavailable'): those libraries are not in this container;
-    a real deployment swaps that one function body.
+  * PIXEL/SAMPLE decode is REAL for the containers stdlib + numpy can
+    carry (decode_values / pixel_stats): 24-bit BI_RGB BMP pixel rows
+    (stride padding, BGR order, bottom-up layout), 8/16-bit PCM WAV
+    samples, and non-interlaced 8-bit-depth PNG (zlib IDAT inflate +
+    full scanline unfilter — None/Sub/Up/Average/Paeth — for gray,
+    RGB, and RGBA color types).
+  * REMAINING codecs (JPEG/GIF pixel data, palette/interlaced/16-bit
+    PNG, lossy audio) stay a clearly-marked stub (decode_pixels_stub /
+    error 'codec_unavailable'): those need PIL/ffmpeg, absent in this
+    container; a real deployment swaps that one function body.
 The Spark-side plumbing — schema, partitioning, UDF signature, Arrow
 batch shape — is real and tested either way.
 
@@ -178,17 +179,99 @@ def _wav_params(payload: bytes) -> dict:
 
 
 def decode_pixels_stub(payloads: pd.Series) -> pd.Series:
-    """COMPRESSED-codec decode stub — the one function a real
+    """REMAINING-codec decode stub — the one function a real
     deployment replaces with PIL.Image.open / an audio codec. The
     container lacks those libraries, so this raises by contract rather
-    than fake pixels. Uncompressed BMP pixels and WAV PCM samples ARE
-    decoded for real — see decode_values / pixel_stats."""
+    than fake pixels. BMP pixels, WAV PCM samples, and 8-bit
+    non-interlaced PNG ARE decoded for real — see decode_values /
+    pixel_stats."""
     raise NotImplementedError(
-        "compressed-codec decode (PNG/JPEG/GIF pixels, lossy audio) "
-        "requires PIL/ffmpeg (absent in this environment); header "
-        "decode (parse_header) and uncompressed BMP/WAV value decode "
+        "JPEG/GIF pixels, palette/interlaced/16-bit PNG, and lossy "
+        "audio require PIL/ffmpeg (absent in this environment); header "
+        "decode (parse_header) and BMP/WAV/8-bit-PNG value decode "
         "(decode_values) are real"
     )
+
+
+def _png_unfilter(payload: bytes) -> tuple | str:
+    """Real PNG pixel decode, stdlib-only: chunk walk -> concatenated
+    IDAT zlib inflate -> per-scanline reconstruction of all five
+    filter types (RFC 2083 §6). Supported: bit depth 8, color types
+    0 (gray), 2 (RGB), 6 (RGBA), non-interlaced — the shapes a
+    training-data pipeline's synthetic/screenshot corpus actually
+    carries. Palette/16-bit/interlaced return 'codec_unavailable'.
+
+    Returns (recon ndarray [h, w*nch] uint8-valued int64, nch) or an
+    error string. Sub/Average/Paeth recursions are per-byte sequential
+    by definition; Sub vectorizes as a per-lane cumsum, Up as a row
+    add, and Average/Paeth fall back to the honest per-byte loop —
+    this runs executor-side inside mapInPandas, so a slow row costs
+    one Arrow batch slot, never a stage."""
+    import zlib
+
+    import numpy as np
+
+    if len(payload) < 33:
+        return "truncated"
+    w, h = struct.unpack(">II", payload[16:24])
+    depth, ctype, _comp, _filt, interlace = payload[24:29]
+    nch = {0: 1, 2: 3, 6: 4}.get(ctype)
+    if depth != 8 or nch is None or interlace != 0:
+        return "codec_unavailable"
+    if w == 0 or h == 0:
+        return "truncated"
+    idat = bytearray()
+    i, n = 8, len(payload)
+    while i + 8 <= n:
+        (clen,) = struct.unpack(">I", payload[i : i + 4])
+        cid = payload[i + 4 : i + 8]
+        if cid == b"IDAT":
+            idat += payload[i + 8 : i + 8 + clen]
+        elif cid == b"IEND":
+            break
+        i += 12 + clen  # length + type + data + crc
+    if not idat:
+        return "truncated"
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return "malformed"
+    rb = w * nch  # bytes per scanline (depth 8)
+    if len(raw) < h * (rb + 1):
+        return "truncated"
+    recon = np.zeros((h, rb), dtype=np.int64)
+    prev = np.zeros(rb, dtype=np.int64)
+    for y in range(h):
+        off = y * (rb + 1)
+        f = raw[off]
+        line = np.frombuffer(raw, dtype=np.uint8, count=rb, offset=off + 1)
+        line = line.astype(np.int64)
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub: per-lane cumsum mod 256
+            rec = (line.reshape(w, nch).cumsum(axis=0) % 256).reshape(rb)
+        elif f == 2:  # Up
+            rec = (line + prev) % 256
+        elif f == 3:  # Average — sequential in x by definition
+            rec = np.zeros(rb, dtype=np.int64)
+            for j in range(rb):
+                a = rec[j - nch] if j >= nch else 0
+                rec[j] = (line[j] + (a + prev[j]) // 2) % 256
+        elif f == 4:  # Paeth — sequential in x by definition
+            rec = np.zeros(rb, dtype=np.int64)
+            for j in range(rb):
+                a = rec[j - nch] if j >= nch else 0
+                c = prev[j - nch] if j >= nch else 0
+                b = prev[j]
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[j] = (line[j] + pred) % 256
+        else:
+            return "malformed"
+        recon[y] = rec
+        prev = rec
+    return recon, nch
 
 
 PIXEL_STATS = StructType(
@@ -222,6 +305,11 @@ def decode_values(payload: bytes | None) -> dict:
              sum/min/max over raw sample values (8-bit reported raw
              0..255 — the container convention, documented not
              rescaled).
+      PNG  — non-interlaced 8-bit depth, gray/RGB/RGBA: zlib IDAT
+             inflate + full five-filter scanline reconstruction
+             (_png_unfilter). sum_r/g/b for RGB(A) (alpha counts in
+             sum_v/n_values only); palette/16-bit/interlaced remain
+             'codec_unavailable'.
 
     Integer sums are EXACT (no float accumulation), so the stats are
     oracle-checkable by replaying the fixture formula in SQL; mean_v
@@ -268,6 +356,21 @@ def decode_values(payload: bytes | None) -> dict:
             out["sum_r"] = int(px[:, 2].sum())
             out["sum_v"] = out["sum_b"] + out["sum_g"] + out["sum_r"]
             out["min_v"], out["max_v"] = int(px.min()), int(px.max())
+        elif payload.startswith(b"\x89PNG\r\n\x1a\n"):
+            out["kind"] = "png"
+            dec = _png_unfilter(payload)
+            if isinstance(dec, str):
+                out["error"] = dec
+                return out
+            recon, nch = dec
+            px = recon.reshape(-1, nch)
+            out["n_values"] = int(px.size)
+            out["sum_v"] = int(px.sum())
+            out["min_v"], out["max_v"] = int(px.min()), int(px.max())
+            if nch >= 3:  # RGB(A); alpha counts in sum_v only
+                out["sum_r"] = int(px[:, 0].sum())
+                out["sum_g"] = int(px[:, 1].sum())
+                out["sum_b"] = int(px[:, 2].sum())
         elif payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
             out["kind"] = "wav"
             i, n = 12, len(payload)

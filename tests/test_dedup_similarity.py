@@ -359,13 +359,15 @@ def test_decode_values_real_bmp_wav(spark):
     assert st["n_values"] == 6 and st["sum_v"] == sum(flat)
     assert (st["min_v"], st["max_v"]) == (-32768, 32767)
 
-    # honest boundaries: compressed / truncated / unsupported depth
+    # honest boundaries: truncated / unsupported depth (PNG is decoded
+    # for real since r6 — a signature with no IHDR is 'truncated';
+    # see test_decode_values_real_png for the full PNG surface)
     assert multimodal.decode_values(b"\x89PNG\r\n\x1a\n" + bytes(16)) == {
         **{k: None for k in (
             "n_values", "sum_v", "min_v", "max_v", "sum_r", "sum_g",
             "sum_b", "mean_v",
         )},
-        "kind": "png", "error": "codec_unavailable",
+        "kind": "png", "error": "truncated",
     }
     assert multimodal.decode_values(b"BM" + bytes(10))["error"] == "truncated"
     bpp32 = bytearray(_synth_bmp24(4))
@@ -1089,3 +1091,58 @@ def test_exact_substring_dedup_randomized_differential(spark):
                 ).collect()
             }
             assert got == exp, f"trial {trial} L={L} keep_first={kf}"
+
+
+def test_decode_values_real_png(spark):
+    """PNG pixel decode is REAL (zlib inflate + five-filter scanline
+    reconstruction): the fixture filters every scanline with a cycling
+    type, so Sub/Up/Average/Paeth reconstruction must all be exact for
+    the formula replay to match; gray/RGB/RGBA channel accounting and
+    the honest codec_unavailable on palette/interlaced variants."""
+    import struct as _s
+    import zlib as _z
+
+    from cpg_spark.queries import _synth_png
+
+    # every color type x enough ids to hit all 5 filter types per image
+    for d in (3, 7, 11, 13, 21, 33):
+        got = multimodal.decode_values(_synth_png(d))
+        w, h = 2 + d % 6, 1 + d % 4
+        nch = [1, 3, 4][d % 3]
+        nv = w * h * nch
+        vals = [(d * 31 + j) % 256 for j in range(nv)]
+        assert (got["kind"], got["error"]) == ("png", None), (d, got)
+        assert got["n_values"] == nv and got["sum_v"] == sum(vals), d
+        assert (got["min_v"], got["max_v"]) == (min(vals), max(vals)), d
+        if nch >= 3:
+            for ch, name in enumerate(("sum_r", "sum_g", "sum_b")):
+                assert got[name] == sum(
+                    v for j, v in enumerate(vals) if j % nch == ch
+                ), (d, name)
+        else:
+            assert got["sum_r"] is None
+
+    # palette color type -> codec_unavailable (honest remaining stub)
+    pal = bytearray(_synth_png(4))
+    pal[25] = 3  # color type byte in IHDR
+    assert multimodal.decode_values(bytes(pal))["error"] == "codec_unavailable"
+    # interlaced -> codec_unavailable
+    il = bytearray(_synth_png(4))
+    il[28] = 1
+    assert multimodal.decode_values(bytes(il))["error"] == "codec_unavailable"
+    # corrupt zlib stream -> malformed, never a raise
+    def chunk(cid, body):
+        return _s.pack(">I", len(body)) + cid + body + _s.pack(
+            ">I", _z.crc32(cid + body)
+        )
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", b"\x00notzlib")
+           + chunk(b"IEND", b""))
+    assert multimodal.decode_values(bad)["error"] == "malformed"
+    # truncated IDAT (inflates short) -> truncated
+    short = (b"\x89PNG\r\n\x1a\n"
+             + chunk(b"IHDR", _s.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+             + chunk(b"IDAT", _z.compress(b"\x00\x01\x02"))
+             + chunk(b"IEND", b""))
+    assert multimodal.decode_values(short)["error"] == "truncated"
