@@ -709,3 +709,110 @@ def lm_bigram_score(docs: DataFrame, max_vocab: int | None = None) -> DataFrame:
             "score",
         )
     )
+
+
+# --- C4 / FineWeb heuristic batteries ---------------------------------------
+# C4 line + page rules: Raffel et al. 2020 (T5), §2.2. FineWeb custom
+# filters: Penedo et al. 2024, §3 (the three heuristics they add on top
+# of the Gopher battery implemented above in massivetext_gates).
+C4_TERMINAL_PUNCT = (".", "!", "?", '"')
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+# placeholder for the public "List of Dirty, Naughty, Obscene..." list
+# C4 actually uses (thousands of entries, fetched at deploy time); the
+# operator takes any tuple so a real run passes the full list
+C4_BADWORDS_STUB = ("obscene", "expletive")
+FINEWEB_PUNCT_LINE_MIN = 0.12   # frac of lines ending in terminal punct
+FINEWEB_SHORT_LINE_CHARS = 30   # a "short" line is < 30 chars
+FINEWEB_SHORT_LINE_MAX = 0.67   # frac of short lines allowed
+
+
+def c4_fineweb_gates(
+    docs: DataFrame, badwords: tuple[str, ...] = C4_BADWORDS_STUB
+) -> DataFrame:
+    """The C4 cleaning battery (Raffel et al. 2020 §2.2) plus the three
+    FineWeb custom heuristics (Penedo et al. 2024 §3), per document:
+
+      line rule (C4)  — a line SURVIVES iff its trimmed text ends in a
+                        terminal punctuation mark (. ! ? \"), carries
+                        >= 5 word tokens, and does not contain the word
+                        'javascript' (case-insensitive). text_clean is
+                        the surviving lines re-joined with newlines.
+      page rules (C4) — dropped if the CLEANED page has < 3 sentences
+                        (terminal-punct count, the published heuristic),
+                        contains 'lorem ipsum', a curly brace '{', or a
+                        bad-word hit (`badwords`; default is a clearly
+                        marked two-entry stub for the public list C4
+                        pulls at deploy time).
+      FineWeb         — frac of (non-empty) lines ending in terminal
+                        punctuation < 0.12 -> drop; frac of lines
+                        shorter than 30 chars > 0.67 -> drop. (The
+                        third FineWeb heuristic, duplicated-line char
+                        fraction, lives in gopher_repetition above.)
+
+    Scale shape: zero shuffle — line splitting, the per-line word
+    counts, and every gate are per-row array folds in one narrow scan
+    projection, same contract as gopher_repetition. Every fraction is
+    one division of exact integer counts; documents with no non-empty
+    lines emit NULL fractions and both passes false (unscorable, never
+    silently passing)."""
+    punct = list(C4_TERMINAL_PUNCT)
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), r"\n"), lambda u: F.trim(u)),
+        lambda u: u != "",
+    )
+    ends_punct = lambda u: F.substring(u, -1, 1).isin(punct)  # noqa: E731
+    nwords = lambda u: F.size(doc_tokens(u))  # noqa: E731
+    kept = F.filter(
+        lines,
+        lambda u: ends_punct(u)
+        & (nwords(u) >= C4_MIN_LINE_WORDS)
+        & ~F.lower(u).contains("javascript"),
+    )
+    base = docs.select(
+        "doc_id",
+        F.lower("text").alias("__low"),
+        lines.alias("__ln"),
+        kept.alias("__kept"),
+    )
+    text_clean = F.array_join("__kept", "\n")
+    # page-level C4 rules scan the ORIGINAL page (Raffel et al.: "any
+    # page that contained ..."), sentence count the cleaned one
+    low = F.col("__low")
+    n_sentences = (
+        F.length(text_clean)
+        - F.length(F.translate(text_clean, ".!?", ""))
+    ).cast("long")
+    has_badword = F.lit(False)
+    for w in badwords:
+        has_badword = has_badword | low.contains(w.lower())
+    n_lines = F.size("__ln").cast("long")
+    n_kept = F.size("__kept").cast("long")
+    has = n_lines > 0
+    n_punct_lines = F.size(F.filter("__ln", ends_punct)).cast("long")
+    n_short_lines = F.size(
+        F.filter("__ln", lambda u: F.length(u) < FINEWEB_SHORT_LINE_CHARS)
+    ).cast("long")
+    frac_punct = F.when(has, n_punct_lines / n_lines)
+    frac_short = F.when(has, n_short_lines / n_lines)
+    c4_pass = (
+        (n_sentences >= C4_MIN_SENTENCES)
+        & ~low.contains("lorem ipsum")
+        & ~low.contains("{")
+        & ~has_badword
+        & (n_kept > 0)
+    )
+    fineweb_pass = (frac_punct >= FINEWEB_PUNCT_LINE_MIN) & (
+        frac_short <= FINEWEB_SHORT_LINE_MAX
+    )
+    return base.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        text_clean.alias("text_clean"),
+        n_sentences.alias("n_sentences"),
+        frac_punct.alias("frac_punct_lines"),
+        frac_short.alias("frac_short_lines"),
+        F.coalesce(c4_pass, F.lit(False)).alias("c4_pass"),
+        F.coalesce(fineweb_pass, F.lit(False)).alias("fineweb_pass"),
+    )

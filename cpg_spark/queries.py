@@ -4700,10 +4700,79 @@ LEFT JOIN keptagg k USING (doc_id)
 LEFT JOIN spanagg sa USING (doc_id)
 """
 
+def q_ts_c4_gates(spark, sf_dir):
+    """The C4 cleaning battery + FineWeb custom heuristics
+    (textstats.c4_fineweb_gates — Raffel et al. 2020 §2.2, Penedo et
+    al. 2024 §3): per-line terminal-punct/word-count/javascript
+    filtering with cleaned-text reassembly, page-level lorem-ipsum /
+    curly-brace / bad-word / sentence-count gates on the original
+    page, and the FineWeb punct-line and short-line ratios. The oracle
+    replays line splitting, the word-token counts, and every gate
+    relationally."""
+    from .operators import textstats as ts
+
+    return ts.c4_fineweb_gates(t_par(spark, sf_dir, "documents"))
+
+
+SQL_TS_C4_GATES = f"""
+WITH ln AS (
+  SELECT doc_id, lower(text) AS low,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    u -> trim(u)), u -> u <> '') AS lns
+  FROM documents
+), kp AS (
+  SELECT doc_id, low, lns,
+         list_filter(lns, u ->
+           substr(u, length(u), 1) IN ('.', '!', '?', '"')
+           AND len(regexp_extract_all(lower(u), '[a-z0-9]+'))
+               >= {textstats.C4_MIN_LINE_WORDS}
+           AND NOT contains(lower(u), 'javascript')) AS kept
+  FROM ln
+), tc AS (
+  SELECT doc_id, low, lns, kept,
+         COALESCE(array_to_string(kept, chr(10)), '') AS text_clean,
+         len(lns) AS nl
+  FROM kp
+), sig AS (
+  SELECT doc_id, low, lns, kept, text_clean, nl,
+         CAST(length(text_clean)
+              - length(translate(text_clean, '.!?', '')) AS BIGINT)
+           AS n_sentences,
+         CASE WHEN nl > 0 THEN
+           CAST(len(list_filter(lns, u ->
+             substr(u, length(u), 1) IN ('.', '!', '?', '"')))
+             AS BIGINT) / nl END AS frac_punct_lines,
+         CASE WHEN nl > 0 THEN
+           CAST(len(list_filter(lns, u ->
+             length(u) < {textstats.FINEWEB_SHORT_LINE_CHARS}))
+             AS BIGINT) / nl END AS frac_short_lines
+  FROM tc
+)
+SELECT doc_id,
+       CAST(nl AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       text_clean,
+       n_sentences,
+       frac_punct_lines,
+       frac_short_lines,
+       COALESCE(n_sentences >= {textstats.C4_MIN_SENTENCES}
+                AND NOT contains(low, 'lorem ipsum')
+                AND NOT contains(low, '{{')
+                AND NOT contains(low, 'obscene')
+                AND NOT contains(low, 'expletive')
+                AND len(kept) > 0, FALSE) AS c4_pass,
+       COALESCE(frac_punct_lines >= {textstats.FINEWEB_PUNCT_LINE_MIN}
+                AND frac_short_lines <= {textstats.FINEWEB_SHORT_LINE_MAX},
+                FALSE) AS fineweb_pass
+FROM sig
+"""
+
 R7_CANDIDATES: tuple[str, ...] = (
     "dd_exactsubstr",
+    "ts_c4_gates",
 )
 
 QUERIES.update({
     "dd_exactsubstr": (q_dd_exactsubstr, SQL_DD_EXACTSUBSTR),
+    "ts_c4_gates": (q_ts_c4_gates, SQL_TS_C4_GATES),
 })

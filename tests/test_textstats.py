@@ -157,3 +157,61 @@ def test_massivetext_gates_verdict(spark):
     r3 = out[3]
     assert r3["frac_top_word"] == 0.25
     assert r3["repetition_pass"] and r3["gopher_pass"]
+
+
+def test_c4_fineweb_gates_hand_computed(spark):
+    """Every C4 line rule, every page rule, and both FineWeb ratios on
+    hand-built multi-line docs (the driver corpus is single-line, so
+    this test carries the line-machinery coverage)."""
+    good_line = "this is a perfectly normal sentence with many words."
+    docs = [
+        # doc 1: clean 3-sentence page, all lines survive
+        (1, "\n".join([good_line] * 3)),
+        # doc 2: line filters — no terminal punct / <5 words /
+        # javascript line all dropped; page then has <3 sentences
+        (2, "\n".join([
+            good_line,
+            "no terminal punctuation here at all",
+            "too few words.",
+            "please enable javascript to view this content.",
+            good_line,
+        ])),
+        # doc 3: lorem ipsum page kill (lines themselves fine)
+        (3, "\n".join([good_line] * 3) + "\nlorem ipsum dolor sit amet."),
+        # doc 4: curly brace page kill
+        (4, "\n".join([good_line] * 3) + "\nfunction f() { return 1; }"),
+        # doc 5: bad-word page kill (stub list)
+        (5, "\n".join([good_line] * 3) + "\nsome obscene words here."),
+        # doc 6: FineWeb kill — mostly short unpunctuated nav lines
+        (6, "\n".join(["home", "about", "contact us", "products",
+                       "news", "login", good_line])),
+        # doc 7: empty
+        (7, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in textstats.c4_fineweb_gates(df).collect()}
+
+    assert got[1]["n_lines"] == 3 and got[1]["n_kept_lines"] == 3
+    assert got[1]["n_sentences"] == 3
+    assert got[1]["c4_pass"] and got[1]["fineweb_pass"]
+    assert got[1]["text_clean"] == "\n".join([good_line] * 3)
+
+    assert got[2]["n_lines"] == 5 and got[2]["n_kept_lines"] == 2
+    assert not got[2]["c4_pass"]  # 2 sentences < 3
+    # ratios count ALL lines (the javascript rule only drops the line
+    # from text_clean): 4 of 5 end in '.', short lines = 1
+    assert got[2]["frac_punct_lines"] == 4 / 5
+    assert got[2]["frac_short_lines"] == 1 / 5
+
+    for d in (3, 4, 5):
+        assert got[d]["n_kept_lines"] >= 3 and not got[d]["c4_pass"], d
+    assert got[3]["fineweb_pass"]  # page kills are C4-only
+
+    assert not got[6]["fineweb_pass"]  # 6/7 short, 1/7 punct
+    assert got[6]["frac_punct_lines"] == 1 / 7
+    assert not got[6]["c4_pass"]
+
+    assert got[7]["n_lines"] == 0 and not got[7]["c4_pass"]
+    assert not got[7]["fineweb_pass"]
+    assert got[7]["frac_punct_lines"] is None  # unscorable, not 0
