@@ -203,3 +203,137 @@ def pagerank(
         for df in (e, nodes, out_w):
             df.unpersist()
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    ordered: bool = True,
+    ordered_salts: int = 16,
+    cache_static: bool = True,
+    checkpoint_dir: str | None = None,
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """Weighted HITS (Kleinberg 1999) over edges(src, dst[, weight]),
+    fixed n_iter iterations: authorities a = normalize(Eᵀh), hubs
+    h = normalize(E a), L2-normalized each half-step. On the KG's
+    doc→entity mention graph this is the classic bipartite reading —
+    hub docs cite many strong entities, authority entities are cited
+    by strong docs — the second in-engine centrality next to pagerank
+    (the reference delegates both to Neo4j/GDS after its push).
+
+    Determinism: same contract as pagerank — ordered=True folds every
+    cross-row float sum (contributions AND the squared-norm reduction)
+    through salted_ordered_sum, so the result is bit-identical at any
+    parallelism and replayable by the DuckDB twin; sqrt is IEEE
+    correctly-rounded in both engines. ordered=False swaps combinable
+    F.sum in (the web-scale mode). Zero-norm sides (no edges) emit
+    all-zero scores rather than NaN.
+
+    Scale shape per iteration: two src/dst-keyed join+agg rounds over
+    the static cached edge frame plus two 1-row norm scalars broadcast
+    back — no driver collection; each unnormalized frame is
+    lineage-truncated before the norm divides it (it is read twice:
+    squares and quotient), the iterutil contract.
+
+    Returns (node, authority, hub) for every node of either side."""
+    from .iterutil import ckpt as _ckpt_impl
+
+    if truncate_lineage:
+        ckpt = _ckpt_impl
+    else:
+        cache_static = False
+        ckpt = lambda df, _dir: df  # noqa: E731
+    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"), w.alias("__w")
+    )
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .unionByName(e.select(F.col("__d").alias("node")))
+        .distinct()
+    )
+    if cache_static:
+        e = e.cache()
+        nodes = nodes.cache()
+
+    def _norm_scalar(scored: DataFrame, val: str) -> DataFrame:
+        # sqrt of the deterministic sum of squares -> 1-row frame
+        sq = scored.select(
+            "node", (F.col(val) * F.col(val)).alias("__q")
+        )
+        if ordered:
+            s = salted_ordered_sum(sq, [], "node", "__q", "__ss", ordered_salts)
+        else:
+            s = sq.agg(F.coalesce(F.sum("__q"), F.lit(0.0)).alias("__ss"))
+        return s.select(F.sqrt("__ss").alias("__norm"))
+
+    def _half_step(scores: DataFrame, in_key: str, out_key: str,
+                   score: str) -> DataFrame:
+        # unnormalized out-side sum: score(u)*w over edges grouped by
+        # the opposite endpoint; fold keyed by the contributing node
+        contribs = e.join(
+            scores.withColumnRenamed("node", in_key), in_key
+        ).select(
+            F.col(out_key).alias("node"),
+            F.col(in_key),
+            (F.col(score) * F.col("__w")).alias("__c"),
+        )
+        if ordered:
+            summed = salted_ordered_sum(
+                contribs, ["node"], in_key, "__c", "__u", ordered_salts
+            )
+        else:
+            summed = contribs.groupBy("node").agg(F.sum("__c").alias("__u"))
+        # summed is read twice (squared norm + quotient): a LAZY cache
+        # reuses its shuffle inside the one eager checkpoint job below
+        # (one materialization barrier per half-step, not two — halves
+        # the fixed per-iteration scheduling cost vs ckpt'ing both)
+        if truncate_lineage:
+            summed = summed.cache()
+        norm = _norm_scalar(summed, "__u")
+        out = ckpt(
+            nodes.join(summed, "node", "left")
+            .crossJoin(F.broadcast(norm))
+            .select(
+                "node",
+                F.when(
+                    F.col("__norm") > 0.0,
+                    F.coalesce(F.col("__u"), F.lit(0.0)) / F.col("__norm"),
+                ).otherwise(F.lit(0.0)).alias("score"),
+            ),
+            checkpoint_dir,
+        )
+        if truncate_lineage:
+            summed.unpersist()
+        return out
+
+    n = nodes.count()
+    # init needs no checkpoint: one projection over the cached nodes
+    init = nodes.select(
+        "node", (F.lit(1.0) / F.sqrt(F.lit(float(n)))).alias("score")
+    )
+    hub = init
+    auth = init
+    for _ in range(n_iter):
+        auth = _half_step(hub, "__s", "__d", "score")
+        hub = _half_step(auth, "__d", "__s", "score")
+    out = (
+        nodes.join(
+            auth.withColumnRenamed("score", "authority"), "node", "left"
+        )
+        .join(hub.withColumnRenamed("score", "hub"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("authority", F.lit(0.0)).alias("authority"),
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+        )
+    )
+    out = ckpt(out, checkpoint_dir)
+    if cache_static:
+        for df in (e, nodes):
+            df.unpersist()
+    return out

@@ -4767,12 +4767,102 @@ SELECT doc_id,
 FROM sig
 """
 
+def q_kg_hits(spark, sf_dir):
+    """Weighted HITS (graphrank.hits, Kleinberg 1999, 5 iterations)
+    over the bipartite doc→entity mention graph — hub documents cite
+    many strong entities, authority entities are cited by strong
+    documents; the second in-engine centrality next to kg_pagerank.
+    The oracle replays every half-step's salted sequential folds and
+    L2 norms with the identical float order."""
+    from .operators.graphrank import hits
+
+    m = q_kg_doc_mentions(spark, sf_dir)
+    edges = m.groupBy(
+        F.concat(F.lit("d:"), F.col("doc_id").cast("string")).alias("src"),
+        F.col("entity_id").alias("dst"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("w"))
+    return hits(edges, n_iter=5, weight_col="w")
+
+
+def _hits_sql(n_iter: int = 5, n_salts: int = 16) -> str:
+    # mirrors graphrank.hits with ordered=True: salted two-phase folds
+    # for every contribution sum AND the squared-norm reduction
+    def _salt(col: str) -> str:
+        return f"({char_poly_hash_sql(col)} % {n_salts})"
+
+    ctes = [
+        f"men AS ({SQL_KG_DOC_MENTIONS.strip()})",
+        "edges AS MATERIALIZED (SELECT 'd:' || CAST(doc_id AS VARCHAR) AS src, "
+        "entity_id AS dst, CAST(COUNT(*) AS BIGINT) AS w "
+        "FROM men GROUP BY 1, 2)",
+        "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges"
+        " UNION ALL SELECT dst FROM edges))",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "s0 AS (SELECT node, CAST(1.0 AS DOUBLE) / sqrt(CAST(nn.n AS DOUBLE))"
+        " AS score FROM nodes, nn)",
+    ]
+
+    def half(i: int, prev: str, out: str, in_col: str, out_col: str) -> None:
+        p = f"{out}{i}"
+        ctes.append(
+            f"{p}c AS (SELECT e.{out_col} AS node, e.{in_col} AS k, "
+            f"s.score * e.w AS c, {_salt(f'e.{in_col}')} AS salt "
+            f"FROM edges e JOIN {prev} s ON s.node = e.{in_col})"
+        )
+        ctes.append(
+            f"{p}p AS (SELECT node, salt, {_fold_sql('k', 'c')} AS pp "
+            f"FROM {p}c GROUP BY node, salt)"
+        )
+        # MATERIALIZED: {p}s is read twice (norm + quotient) and each
+        # half-step chains on the last — inlined, DuckDB's plan would
+        # double per half-step (4^n_iter blowup, measured >10 min at
+        # sf0.01); materialization keeps the twin linear
+        ctes.append(
+            f"{p}s AS MATERIALIZED (SELECT node, {_fold_sql('salt', 'pp')} AS u "
+            f"FROM {p}p GROUP BY node)"
+        )
+        ctes.append(
+            f"{p}qp AS (SELECT {_salt('node')} AS salt, "
+            f"{_fold_sql('node', 'q')} AS pp FROM "
+            f"(SELECT node, u * u AS q FROM {p}s) GROUP BY 1)"
+        )
+        ctes.append(
+            f"{p}n AS (SELECT sqrt(COALESCE({_fold_sql('salt', 'pp')}, 0.0))"
+            f" AS nrm FROM {p}qp)"
+        )
+        ctes.append(
+            f"{p} AS MATERIALIZED (SELECT n.node, CASE WHEN x.nrm > 0.0 "
+            f"THEN COALESCE(s.u, 0.0) / x.nrm ELSE 0.0 END AS score "
+            f"FROM nodes n CROSS JOIN {p}n x "
+            f"LEFT JOIN {p}s s ON s.node = n.node)"
+        )
+
+    prev_h, prev_a = "s0", "s0"
+    for i in range(n_iter):
+        half(i, prev_h, "a", "src", "dst")
+        prev_a = f"a{i}"
+        half(i, prev_a, "h", "dst", "src")
+        prev_h = f"h{i}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT n.node, COALESCE(a.score, 0.0) AS authority, "
+        f"COALESCE(h.score, 0.0) AS hub "
+        f"FROM nodes n LEFT JOIN {prev_a} a ON a.node = n.node "
+        f"LEFT JOIN {prev_h} h ON h.node = n.node"
+    )
+
+
+SQL_KG_HITS = _hits_sql(5)
+
+
 R7_CANDIDATES: tuple[str, ...] = (
     "dd_exactsubstr",
     "ts_c4_gates",
+    "kg_hits",
 )
 
 QUERIES.update({
     "dd_exactsubstr": (q_dd_exactsubstr, SQL_DD_EXACTSUBSTR),
     "ts_c4_gates": (q_ts_c4_gates, SQL_TS_C4_GATES),
+    "kg_hits": (q_kg_hits, SQL_KG_HITS),
 })
