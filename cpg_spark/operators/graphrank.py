@@ -337,3 +337,93 @@ def hits(
         for df in (e, nodes):
             df.unpersist()
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    symmetric: bool = False,
+    cache_static: bool = True,
+    checkpoint_dir: str | None = None,
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al.
+    2007's LPA with the random tie-break replaced by a total order):
+    every node starts as its own label; each of the fixed n_iter
+    rounds it adopts the neighbor label with the LARGEST total
+    incident weight, ties to the lexicographically smallest label.
+    Isolated nodes keep their label. The in-engine community
+    detection for entity clustering — co-occurrence neighborhoods
+    collapse onto stable community ids — next to pagerank/hits (the
+    reference delegates all three to Neo4j/GDS).
+
+    Determinism for free: weights are summed as INTEGERS (exact,
+    combinable, order-free) and the argmax is min(struct(-w, label))
+    — no float folds anywhere, so unlike pagerank/hits there is no
+    ordered/combinable split; one mode serves both the oracle and
+    100 TB. Synchronous updates (not the paper's asynchronous sweep)
+    are what makes a parallel run reproducible at all — the standard
+    Pregel-style determinization.
+
+    Scale shape per round: one src-keyed join of labels into the
+    static cached edge frame, one combinable (node, label) integer
+    aggregation, one combinable per-node argmax, one left join back
+    to nodes — all map-side-partial, no windows, no driver state;
+    labels lineage-truncate per round (iterutil). symmetric=True
+    unions the reversed edges first (co-occurrence graphs arrive
+    symmetric already — leave it off there).
+
+    Returns (node, label); label is the community id."""
+    from .iterutil import ckpt as _ckpt_impl
+
+    if truncate_lineage:
+        ckpt = _ckpt_impl
+    else:
+        cache_static = False
+        ckpt = lambda df, _dir: df  # noqa: E731
+    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"),
+        w.cast("long").alias("__w"),
+    )
+    if symmetric:
+        e = e.unionByName(
+            e.select(
+                F.col("__d").alias("__s"), F.col("__s").alias("__d"), "__w"
+            )
+        )
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .unionByName(e.select(F.col("__d").alias("node")))
+        .distinct()
+    )
+    if cache_static:
+        e = e.cache()
+        nodes = nodes.cache()
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    for _ in range(n_iter):
+        nb = (
+            e.join(labels.withColumnRenamed("node", "__s"), "__s")
+            .groupBy(F.col("__d").alias("node"), "lbl")
+            .agg(F.sum("__w").alias("__lw"))
+        )
+        best = nb.groupBy("node").agg(
+            F.min(F.struct((-F.col("__lw")).alias("nw"), F.col("lbl"))).alias(
+                "__b"
+            )
+        ).select("node", F.col("__b.lbl").alias("__new"))
+        labels = ckpt(
+            labels.join(best, "node", "left").select(
+                "node", F.coalesce("__new", "lbl").alias("lbl")
+            ),
+            checkpoint_dir,
+        )
+    labels = ckpt(labels.select("node", F.col("lbl").alias("label")),
+                  checkpoint_dir)
+    if cache_static:
+        for df in (e, nodes):
+            df.unpersist()
+    return labels

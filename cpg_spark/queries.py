@@ -4855,14 +4855,78 @@ def _hits_sql(n_iter: int = 5, n_salts: int = 16) -> str:
 SQL_KG_HITS = _hits_sql(5)
 
 
+def q_kg_label_prop(spark, sf_dir):
+    """Deterministic label propagation (graphrank.label_propagation,
+    Raghavan et al. 2007 with a total-order tie-break, 5 synchronous
+    rounds) over the entity co-occurrence graph: co-occurring entity
+    neighborhoods collapse onto stable community ids. Integer weights
+    + min-struct argmax mean the whole computation is exact and
+    combinable — no float folds — so one mode serves both the oracle
+    and web scale."""
+    from .operators.graphrank import label_propagation
+
+    cooc = q_kg_doc_cooccur(spark, sf_dir)
+    fwd = cooc.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst"),
+        F.col("n_evidence").alias("w"),
+    )
+    rev = cooc.select(
+        F.col("obj").alias("src"), F.col("subj").alias("dst"),
+        F.col("n_evidence").alias("w"),
+    )
+    out = label_propagation(fwd.unionByName(rev), n_iter=5, weight_col="w")
+    return out.select(F.col("node").alias("entity_id"), "label")
+
+
+def _label_prop_sql(n_iter: int = 5) -> str:
+    # mirrors graphrank.label_propagation exactly: integer weight sums
+    # (order-free), argmax = ORDER BY lw DESC, lbl. l{i} is referenced
+    # twice per round (neighbor join + isolated-keep) -> MATERIALIZED,
+    # the DuckDB-1.0-inlines-CTEs lesson from the kg_hits twin
+    ctes = [
+        f"cooc AS MATERIALIZED ({SQL_KG_DOC_COOCCUR.strip()})",
+        "edges AS MATERIALIZED (SELECT subj AS src, obj AS dst,"
+        " n_evidence AS w FROM cooc"
+        " UNION ALL SELECT obj, subj, n_evidence FROM cooc)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM"
+        " (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges))",
+        "l0 AS (SELECT node, node AS lbl FROM nodes)",
+    ]
+    for i in range(n_iter):
+        ctes.append(
+            f"nb{i} AS (SELECT e.dst AS node, l.lbl, SUM(e.w) AS lw "
+            f"FROM edges e JOIN l{i} l ON l.node = e.src GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"b{i} AS (SELECT node, lbl FROM (SELECT node, lbl, "
+            f"row_number() OVER (PARTITION BY node ORDER BY lw DESC, lbl)"
+            f" AS rn FROM nb{i}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"l{i + 1} AS MATERIALIZED (SELECT n.node, "
+            f"COALESCE(b.lbl, l.lbl) AS lbl FROM nodes n "
+            f"JOIN l{i} l ON l.node = n.node "
+            f"LEFT JOIN b{i} b ON b.node = n.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node AS entity_id, lbl AS label FROM l{n_iter}"
+    )
+
+
+SQL_KG_LABEL_PROP = _label_prop_sql(5)
+
+
 R7_CANDIDATES: tuple[str, ...] = (
     "dd_exactsubstr",
     "ts_c4_gates",
     "kg_hits",
+    "kg_label_prop",
 )
 
 QUERIES.update({
     "dd_exactsubstr": (q_dd_exactsubstr, SQL_DD_EXACTSUBSTR),
     "ts_c4_gates": (q_ts_c4_gates, SQL_TS_C4_GATES),
     "kg_hits": (q_kg_hits, SQL_KG_HITS),
+    "kg_label_prop": (q_kg_label_prop, SQL_KG_LABEL_PROP),
 })

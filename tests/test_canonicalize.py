@@ -502,3 +502,53 @@ def test_hits_matches_numpy_and_modes(spark):
     assert got["d1"]["authority"] == 0.0 and got["e1"]["hub"] == 0.0
     assert abs(sum(r["authority"] ** 2 for r in got.values()) - 1.0) < 1e-12
     assert got["e1"]["authority"] > got["e2"]["authority"]
+
+
+def test_label_propagation_deterministic_communities(spark):
+    """Deterministic LPA against a pure-python synchronous replication:
+    two weight-3 triangles bridged by a weight-1 edge collapse to two
+    distinct communities; isolated pairs keep their own label; the
+    min-struct argmax tie-break (largest weight, then lexicographic)
+    matches the replication on every node."""
+    from cpg_spark.operators.graphrank import label_propagation
+
+    E = [
+        ("a", "b", 3), ("b", "c", 3), ("c", "a", 3),
+        ("x", "y", 3), ("y", "z", 3), ("z", "x", 3),
+        ("c", "x", 1), ("q", "q2", 1),
+    ]
+    sym = E + [(d, s, w) for s, d, w in E]
+
+    def py_lpa(edges, n_iter):
+        nodes = sorted({u for e in edges for u in e[:2]})
+        lbl = {n: n for n in nodes}
+        for _ in range(n_iter):
+            agg: dict = {}
+            for s, d, w in edges:
+                agg.setdefault(d, {}).setdefault(lbl[s], 0)
+                agg[d][lbl[s]] += w
+            new = dict(lbl)
+            for n, ls in agg.items():
+                new[n] = min(ls.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            lbl = new
+        return lbl
+
+    df = spark.createDataFrame(E, "src string, dst string, w long")
+    for it in (1, 3, 5):
+        exp = py_lpa(sym, it)
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(
+                df, n_iter=it, weight_col="w", symmetric=True
+            ).collect()
+        }
+        assert got == exp, f"n_iter={it}"
+    got5 = {
+        r["node"]: r["label"]
+        for r in label_propagation(
+            df, n_iter=5, weight_col="w", symmetric=True
+        ).collect()
+    }
+    assert len({got5[n] for n in "abc"}) == 1
+    assert len({got5[n] for n in "xyz"}) == 1
+    assert got5["a"] != got5["x"]
