@@ -811,3 +811,127 @@ def ivfpq_topk(
             "q_id", F.col("rank").cast("int"), "neighbor_id", "cell", "dist"
         )
     )
+
+
+def sq8_train(emb: DataFrame, dim: int, id_col: str = "vec_id") -> DataFrame:
+    """Scalar-quantizer training (FAISS ScalarQuantizer QT_8bit shape):
+    per-dimension [min, max] over the corpus — ONE combinable
+    aggregation pass (min/max have exact map-side partials; no float
+    ordering concerns), returning a 1-row frame (vmin, vmax:
+    array<double>) that downstream encode/ADC broadcast in. Never a
+    driver collect: the trained range rides the plan."""
+    mins = [
+        F.min(F.element_at("embedding", i + 1).cast("double")).alias(
+            f"__mn{i}"
+        )
+        for i in range(dim)
+    ]
+    maxs = [
+        F.max(F.element_at("embedding", i + 1).cast("double")).alias(
+            f"__mx{i}"
+        )
+        for i in range(dim)
+    ]
+    return emb.agg(*mins, *maxs).select(
+        F.array(*[F.col(f"__mn{i}") for i in range(dim)]).alias("vmin"),
+        F.array(*[F.col(f"__mx{i}") for i in range(dim)]).alias("vmax"),
+    )
+
+
+def _sq8_code(i: int) -> Column:
+    # code = floor((v - mn)/(mx - mn) * 255 + 0.5), clamped to [0, 255]
+    # (clamp only bites for out-of-train-range vectors); degenerate
+    # dimensions (mx == mn) encode 0. floor(x + 0.5) — never round():
+    # engines disagree on round's tie mode, floor is IEEE-pinned.
+    v = F.element_at("embedding", i + 1).cast("double")
+    mn = F.element_at("vmin", i + 1)
+    mx = F.element_at("vmax", i + 1)
+    t = F.floor((v - mn) / (mx - mn) * F.lit(255.0) + F.lit(0.5))
+    code = F.least(F.greatest(t, F.lit(0.0)), F.lit(255.0))
+    return F.when(mx > mn, code).otherwise(F.lit(0.0)).cast("int")
+
+
+def sq8_encode(
+    emb: DataFrame, trained: DataFrame, dim: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """8-bit scalar quantization: every float component -> one byte
+    against the broadcast per-dim range (4x compression at dim float32,
+    no codebook, no subspace structure — the cheap sibling of
+    pq_encode). Pure per-row math in the scan. Returns
+    (vec_id, codes: array<int>)."""
+    return (
+        emb.crossJoin(F.broadcast(trained))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.array(*[_sq8_code(i) for i in range(dim)]).alias("codes"),
+        )
+    )
+
+
+def sq8_adc_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric top-k over scalar-quantized codes: the corpus is
+    sq8-encoded (train -> encode in the same plan), each code
+    reconstructs to mn + c/255*(mx-mn), and every query's EXACT vector
+    scores the reconstruction by squared L2 — a per-row index-ordered
+    fold, bit-replayable in the DuckDB twin. ONE corpus pass: all
+    query distances are columns on the same encoded row, exploded to
+    (q_id, neighbor_id, dist); per-query top-k by one window. Each
+    query excludes only itself, so recall against the brute-force
+    truth measures quantization error alone (the pq_adc_topk
+    contract). Returns (q_id, rank, neighbor_id, dist)."""
+    assert query_ids, "query_ids must be non-empty"
+    q_rows = {
+        r[0]: [float(x) for x in r[1]]
+        for r in emb.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, "embedding")
+        .collect()
+    }
+    missing = [i for i in query_ids if i not in q_rows]
+    assert not missing, f"query ids must exist in the corpus: missing {missing}"
+    trained = sq8_train(emb, dim, id_col)
+    enc = emb.crossJoin(F.broadcast(trained)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.array(*[_sq8_code(i) for i in range(dim)]).alias("codes"),
+        "vmin",
+        "vmax",
+    )
+    recon = F.expr(
+        "transform(sequence(1, size(codes)), i -> "
+        "element_at(vmin, i) + CAST(element_at(codes, i) AS DOUBLE) / 255.0D"
+        " * (element_at(vmax, i) - element_at(vmin, i)))"
+    )
+    enc = enc.select("neighbor_id", recon.alias("__r"))
+    per_query = []
+    for qid in query_ids:
+        qv = F.array(*[F.lit(x).cast("double") for x in q_rows[qid]])
+        dist = F.aggregate(
+            F.zip_with(qv, F.col("__r"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        per_query.append(
+            F.struct(F.lit(qid).alias("q_id"), dist.alias("dist"))
+        )
+    scored = (
+        enc.select(
+            "neighbor_id", F.explode(F.array(*per_query)).alias("qd")
+        )
+        .select(
+            "neighbor_id",
+            F.col("qd.q_id").alias("q_id"),
+            F.col("qd.dist").alias("dist"),
+        )
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("rank").cast("int"), "neighbor_id", "dist")
+    )

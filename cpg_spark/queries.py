@@ -4917,11 +4917,77 @@ def _label_prop_sql(n_iter: int = 5) -> str:
 SQL_KG_LABEL_PROP = _label_prop_sql(5)
 
 
+def q_sim_sq8_topk(spark, sf_dir):
+    """8-bit scalar-quantization ADC top-k (similarity.sq8_train /
+    sq8_encode / sq8_adc_topk — the FAISS ScalarQuantizer QT_8bit
+    shape): per-dim [min,max] trained in one combinable pass, every
+    component one byte, queries score the broadcast-range
+    reconstruction by squared L2. Rounds out the ANN compression
+    family next to PQ/IVFPQ: no codebook, no subspaces, 4x smaller
+    than float32. The oracle replays training, the floor-pinned
+    quantizer, reconstruction, and the index-ordered distance fold."""
+    return similarity.sq8_adc_topk(
+        t_par(spark, sf_dir, "embeddings"), _QUERY_IDS, k=5, dim=_EMB_DIM
+    )
+
+
+def _sq8_sql(dim: int, query_ids: list[int], k: int) -> str:
+    d = dim
+    mins = ", ".join(f"MIN(emb[{i + 1}])" for i in range(d))
+    maxs = ", ".join(f"MAX(emb[{i + 1}])" for i in range(d))
+    dbl = "CAST({} AS DOUBLE)".format
+    code = (
+        f"CASE WHEN mm.vmax[i] > mm.vmin[i] THEN "
+        f"LEAST(GREATEST(floor((v.emb[i] - mm.vmin[i])"
+        f" / (mm.vmax[i] - mm.vmin[i]) * {dbl('255.0')} + {dbl('0.5')}),"
+        f" {dbl('0.0')}), {dbl('255.0')}) ELSE {dbl('0.0')} END"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), mm AS MATERIALIZED (
+  SELECT [{mins}] AS vmin, [{maxs}] AS vmax FROM e
+), enc AS (
+  SELECT v.vec_id AS neighbor_id,
+         list_transform(range(1, {d + 1}), i -> {code}) AS codes
+  FROM e v CROSS JOIN mm
+), rec AS MATERIALIZED (
+  SELECT neighbor_id,
+         list_transform(range(1, {d + 1}), i ->
+           mm.vmin[i] + codes[i] / {dbl('255.0')}
+             * (mm.vmax[i] - mm.vmin[i])) AS r
+  FROM enc CROSS JOIN mm
+), q AS (
+  SELECT vec_id AS q_id, emb AS qe FROM e
+  WHERE vec_id IN ({", ".join(map(str, query_ids))})
+), scored AS (
+  SELECT q.q_id, rec.neighbor_id,
+         list_reduce(list_prepend({dbl('0.0')},
+           list_transform(range(1, {d + 1}), i ->
+             (q.qe[i] - rec.r[i]) * (q.qe[i] - rec.r[i]))),
+           (a, b) -> a + b) AS dist
+  FROM rec CROSS JOIN q
+  WHERE rec.neighbor_id != q.q_id
+)
+SELECT q_id,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist, neighbor_id)
+            AS INT) AS rank,
+       neighbor_id, dist
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+SQL_SIM_SQ8_TOPK = _sq8_sql(_EMB_DIM, _QUERY_IDS, 5)
+
+
 R7_CANDIDATES: tuple[str, ...] = (
     "dd_exactsubstr",
     "ts_c4_gates",
     "kg_hits",
     "kg_label_prop",
+    "sim_sq8_topk",
 )
 
 QUERIES.update({
@@ -4929,4 +4995,5 @@ QUERIES.update({
     "ts_c4_gates": (q_ts_c4_gates, SQL_TS_C4_GATES),
     "kg_hits": (q_kg_hits, SQL_KG_HITS),
     "kg_label_prop": (q_kg_label_prop, SQL_KG_LABEL_PROP),
+    "sim_sq8_topk": (q_sim_sq8_topk, SQL_SIM_SQ8_TOPK),
 })
