@@ -41,6 +41,8 @@ def curate(
     near_dup_jaccard: float = 0.8,
     max_doc_freq: int | None = None,
     lsh_max_bucket: int | None = None,
+    c4_gate: bool = False,
+    exact_substring: int | None = None,
     cache: bool = True,
 ) -> dict[str, DataFrame]:
     """Returns {kept, dropped, dup_map, lsh_dropped_buckets, unpersist}:
@@ -56,7 +58,16 @@ def curate(
     max_doc_freq drops shingles shared by more than that many docs before
     Jaccard verification (boilerplate guard); lsh_max_bucket excludes LSH
     buckets larger than that from candidate generation. Both default to
-    None = exact."""
+    None = exact.
+
+    c4_gate=True folds the published C4 + FineWeb batteries
+    (textstats.c4_fineweb_gates — both passes required) into the gate
+    stage; still one scan, the gates are per-row folds.
+    exact_substring=L appends Lee et al. corpus-level duplicated-
+    substring removal (dedup.exact_substring_dedup, >= L tokens) over
+    the kept survivors — the standard post-dedup boilerplate scrub;
+    kept.text is rewritten and es_removed_tokens added. Both default
+    OFF so the long-benched 5-stage plan is unchanged."""
     q = textstats.quality_score(docs).select("doc_id", "quality")
     lid = textstats.lang_id(docs).select("doc_id", "pred_lang")
     annotated = docs.join(q, "doc_id", "left").join(lid, "doc_id", "left")
@@ -65,6 +76,14 @@ def curate(
     if target_langs is not None:
         gate_fail = gate_fail | ~F.col("pred_lang").isin(list(target_langs))
     gate_fail = gate_fail | (F.coalesce(F.col("quality"), F.lit(0.0)) < min_quality)
+    if c4_gate:
+        c4 = textstats.c4_fineweb_gates(docs).select(
+            "doc_id", "c4_pass", "fineweb_pass"
+        )
+        annotated = annotated.join(c4, "doc_id", "left")
+        gate_fail = gate_fail | ~F.coalesce(
+            F.col("c4_pass") & F.col("fineweb_pass"), F.lit(False)
+        )
     gated = annotated.withColumn("__gated", gate_fail)
 
     # fan-out point #1: exact dedup, MinHash, the Jaccard verify, and
@@ -114,6 +133,18 @@ def curate(
         .filter(F.col("doc_id") == F.col("canonical_id"))
         .drop("canonical_id")
     )
+    if exact_substring:
+        es = dedup.exact_substring_dedup(
+            kept.select("doc_id", "text"), min_tokens=exact_substring
+        )
+        kept = kept.drop("text").join(
+            es.select(
+                "doc_id",
+                F.col("text_deduped").alias("text"),
+                F.col("n_removed").alias("es_removed_tokens"),
+            ),
+            "doc_id",
+        )
 
     dropped_gate = gated.filter(F.col("__gated")).select(
         "doc_id", F.lit("gate").alias("drop_reason")

@@ -117,3 +117,42 @@ def test_curation_pipeline_stages_and_resume(spark, docs_df, tmp_path):
     # gate recomputes under changed params instead of serving a
     # snapshot built for different settings
     assert p3.ran == ["gate"]
+
+
+def test_curate_c4_gate_and_exact_substring_stages(spark):
+    """The r6 opt-in stages compose: a page failing the C4 battery is
+    gate-dropped; a duplicated >=L-token passage shared by two kept
+    docs survives only at its corpus-first occurrence with the token
+    loss audited in es_removed_tokens; defaults-off output is
+    unchanged from the 5-stage plan."""
+    from cpg_spark.plans.curation import curate
+
+    good = (
+        "this is a perfectly normal first sentence with many words. "
+        "here is a second sentence that also reads fine. "
+        "and a third sentence closes the paragraph."
+    )
+    passage = " ".join(f"boiler{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, good + " " + passage + ".", "en"),
+            (2, "totally different page content here. " + passage
+             + " more words trail afterwards. third sentence here.", "en"),
+            (3, "function f() { return 1; } " + good, "en"),  # brace kill
+            (4, good, "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    res = curate(docs, c4_gate=True, exact_substring=10, cache=False)
+    kept = {r["doc_id"]: r for r in res["kept"].collect()}
+    dropped = {r["doc_id"]: r["drop_reason"] for r in res["dropped"].collect()}
+    assert dropped.get(3) == "gate"
+    assert 1 in kept and 2 in kept
+    # the 12-token passage is first in doc 1 -> doc 2 loses it
+    assert kept[1]["es_removed_tokens"] == 0
+    assert kept[2]["es_removed_tokens"] == 12
+    assert "boiler0" in kept[1]["text"] and "boiler0" not in kept[2]["text"]
+    # defaults off: schema has no es column and doc 3 survives
+    base = curate(docs, cache=False)
+    assert "es_removed_tokens" not in base["kept"].columns
+    assert 3 in {r["doc_id"] for r in base["kept"].collect()}
