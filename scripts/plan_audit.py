@@ -108,6 +108,41 @@ def main() -> None:
         )
     )
 
+    # r7 window candidates (added r6): the lazy ones audit directly
+    for name in ("dd_exactsubstr", "ts_c4_gates", "sim_sq8_topk"):
+        fn, _ = QUERIES[name]
+        df = fn(spark, sf_dir)
+        rows.append((name, audit_plan(df._jdf.queryExecution().explainString(mode))))
+        spark.catalog.clearCache()
+    # hits / label_prop run eagerly (per-half-step checkpoints), so the
+    # registry plan is just the final scan; audit ONE raw iteration
+    # instead (truncate_lineage=False doubles the plan per step by
+    # design — the per-iteration shape is the meaningful unit)
+    from cpg_spark.operators.graphrank import hits, label_propagation
+    from cpg_spark.queries import q_kg_doc_mentions
+
+    m = q_kg_doc_mentions(spark, sf_dir)
+    hedges = m.groupBy(
+        F.concat(F.lit("d:"), F.col("doc_id").cast("string")).alias("src"),
+        F.col("entity_id").alias("dst"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("w"))
+    h1 = hits(hedges, n_iter=1, weight_col="w", truncate_lineage=False)
+    rows.append(
+        (
+            "kg_hits (1 iteration, unrolled)",
+            audit_plan(h1._jdf.queryExecution().explainString(mode)),
+        )
+    )
+    lp1 = label_propagation(
+        pr_edges, n_iter=1, weight_col="w", truncate_lineage=False
+    )
+    rows.append(
+        (
+            "kg_label_prop (1 round, unrolled)",
+            audit_plan(lp1._jdf.queryExecution().explainString(mode)),
+        )
+    )
+
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     cur = curate(
         docs,
