@@ -427,3 +427,88 @@ def label_propagation(
         for df in (e, nodes):
             df.unpersist()
     return labels
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Exact per-node triangle counting over an undirected graph —
+    clustering structure for the entity graph (a high triangle count
+    around an entity marks a coherent topic cluster; zero triangles on
+    a high-degree node marks a hub/disambiguation page).
+
+    Scale shape is the Suri & Vassilvitskii degree-ordering
+    construction ("Counting triangles and the curse of the last
+    reducer", WWW'11): orient every undirected edge from the endpoint
+    with smaller (degree, id) to the larger, so each triangle is
+    enumerated EXACTLY once from its smallest vertex and — the point —
+    wedge fan-out per node is bounded by O(sqrt(m)) instead of the raw
+    degree: a celebrity node with 10^7 neighbors generates almost no
+    wedges because nearly all its edges point INTO it. Two
+    co-partitioned joins total (wedge self-join on the low vertex,
+    closing-edge join), everything integer and combinable — exact at
+    any parallelism, no sampling, no windows.
+
+    Input edges may list each undirected edge once or twice (both
+    directions) and may carry self-loops/duplicates; they are
+    canonicalized and deduplicated first. Returns (node, n_triangles)
+    for every node of the graph (0 for triangle-free nodes)."""
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nodes = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+    )
+    # orient each edge from smaller (deg, id) -> larger (deg, id)
+    d1 = deg.select(F.col("node").alias("a"), F.col("__deg").alias("__da"))
+    d2 = deg.select(F.col("node").alias("b"), F.col("__deg").alias("__db"))
+    ranked = und.join(d1, "a").join(d2, "b")
+    lt = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    directed = ranked.select(
+        F.when(lt, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lt, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    # wedges from the low vertex; the (hi1 < hi2) half avoids double
+    # enumeration, then one join closes the wedge on the directed edge
+    e1 = directed.select(F.col("lo"), F.col("hi").alias("x"))
+    e2 = directed.select(F.col("lo"), F.col("hi").alias("y"))
+    wedges = e1.join(e2, "lo").filter(F.col("x") < F.col("y"))
+    closing = directed.select(
+        F.least("lo", "hi").alias("__cx"), F.greatest("lo", "hi").alias("__cy")
+    ).distinct()
+    tris = wedges.join(
+        closing,
+        (F.least("x", "y") == F.col("__cx"))
+        & (F.greatest("x", "y") == F.col("__cy")),
+    ).select("lo", "x", "y")
+    per_node = (
+        tris.select(F.explode(F.array("lo", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        nodes.join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+        )
+    )

@@ -4982,12 +4982,67 @@ QUALIFY rank <= {k}
 SQL_SIM_SQ8_TOPK = _sq8_sql(_EMB_DIM, _QUERY_IDS, 5)
 
 
+def q_kg_triangles(spark, sf_dir):
+    """Exact per-entity triangle counting (graphrank.triangle_count,
+    the Suri & Vassilvitskii degree-ordered construction): clustering
+    structure over the co-occurrence graph — topic clusters score
+    high, hub/disambiguation entities score low relative to degree.
+    Everything integer and combinable; the oracle replays the degree
+    ordering, wedge enumeration, and closing join relationally."""
+    from .operators.graphrank import triangle_count
+
+    cooc = q_kg_doc_cooccur(spark, sf_dir)
+    out = triangle_count(
+        cooc.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    )
+    return out.select(F.col("node").alias("entity_id"), "n_triangles")
+
+
+SQL_KG_TRIANGLES = f"""
+WITH cooc AS MATERIALIZED ({SQL_KG_DOC_COOCCUR.strip()}),
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(subj, obj) AS a, GREATEST(subj, obj) AS b
+  FROM cooc WHERE subj != obj
+), nodes AS (
+  SELECT DISTINCT node FROM
+  (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+), deg AS MATERIALIZED (
+  SELECT node, COUNT(*) AS d FROM
+  (SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY node
+), directed AS MATERIALIZED (
+  SELECT CASE WHEN lt THEN a ELSE b END AS lo,
+         CASE WHEN lt THEN b ELSE a END AS hi
+  FROM (SELECT u.a, u.b,
+               (da.d < db.d OR (da.d = db.d AND u.a < u.b)) AS lt
+        FROM und u
+        JOIN deg da ON da.node = u.a
+        JOIN deg db ON db.node = u.b)
+), wedges AS (
+  SELECT e1.lo, e1.hi AS x, e2.hi AS y
+  FROM directed e1 JOIN directed e2 USING (lo)
+  WHERE e1.hi < e2.hi
+), closing AS (
+  SELECT DISTINCT LEAST(lo, hi) AS cx, GREATEST(lo, hi) AS cy FROM directed
+), tris AS (
+  SELECT lo, x, y FROM wedges
+  JOIN closing ON LEAST(x, y) = cx AND GREATEST(x, y) = cy
+), pn AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM (SELECT unnest([lo, x, y]) AS node FROM tris) GROUP BY node
+)
+SELECT n.node AS entity_id,
+       CAST(COALESCE(pn.n_triangles, 0) AS BIGINT) AS n_triangles
+FROM nodes n LEFT JOIN pn ON pn.node = n.node
+"""
+
+
 R7_CANDIDATES: tuple[str, ...] = (
     "dd_exactsubstr",
     "ts_c4_gates",
     "kg_hits",
     "kg_label_prop",
     "sim_sq8_topk",
+    "kg_triangles",
 )
 
 QUERIES.update({
@@ -4996,4 +5051,5 @@ QUERIES.update({
     "kg_hits": (q_kg_hits, SQL_KG_HITS),
     "kg_label_prop": (q_kg_label_prop, SQL_KG_LABEL_PROP),
     "sim_sq8_topk": (q_sim_sq8_topk, SQL_SIM_SQ8_TOPK),
+    "kg_triangles": (q_kg_triangles, SQL_KG_TRIANGLES),
 })

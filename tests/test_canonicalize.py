@@ -552,3 +552,48 @@ def test_label_propagation_deterministic_communities(spark):
     assert len({got5[n] for n in "abc"}) == 1
     assert len({got5[n] for n in "xyz"}) == 1
     assert got5["a"] != got5["x"]
+
+
+def test_triangle_count_exact_vs_bruteforce(spark):
+    """Degree-ordered triangle counting matches per-node brute force on
+    seeded random graphs; doubled directions, self-loops, and duplicate
+    edges are canonicalized away; a hub with many open wedges but no
+    closure counts zero."""
+    import itertools
+    import random
+
+    from cpg_spark.operators.graphrank import triangle_count
+
+    rng = random.Random(0x71)
+    for trial in range(3):
+        nodes = [f"n{i}" for i in range(14 + trial * 4)]
+        E = set()
+        while len(E) < 40 + trial * 15:
+            a, b = rng.sample(nodes, 2)
+            E.add((min(a, b), max(a, b)))
+        adj: dict = {}
+        for a, b in E:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        exp = {n: 0 for n in adj}
+        for x, y, z in itertools.combinations(sorted(adj), 3):
+            if y in adj[x] and z in adj[x] and z in adj[y]:
+                exp[x] += 1
+                exp[y] += 1
+                exp[z] += 1
+        rows = (
+            [(a, b) for a, b in E]
+            + [(b, a) for a, b in E]
+            + [(nodes[0], nodes[0]), next(iter(E))]
+        )
+        df = spark.createDataFrame(rows, "src string, dst string")
+        got = {
+            r["node"]: r["n_triangles"] for r in triangle_count(df).collect()
+        }
+        assert got == exp, f"trial {trial}"
+    # star: hub has every wedge open, zero triangles
+    star = spark.createDataFrame(
+        [("hub", f"s{i}") for i in range(6)], "src string, dst string"
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(star).collect()}
+    assert set(got.values()) == {0}
