@@ -8,12 +8,14 @@ Decode depth is tiered by what the environment allows:
   * PIXEL/SAMPLE decode is REAL for the containers stdlib + numpy can
     carry (decode_values / pixel_stats): 24-bit BI_RGB BMP pixel rows
     (stride padding, BGR order, bottom-up layout), 8/16-bit PCM WAV
-    samples, and non-interlaced 8-bit-depth PNG (zlib IDAT inflate +
+    samples, non-interlaced 8-bit-depth PNG (zlib IDAT inflate +
     full scanline unfilter — None/Sub/Up/Average/Paeth — for gray,
-    RGB, and RGBA color types).
-  * REMAINING codecs (JPEG/GIF pixel data, palette/interlaced/16-bit
-    PNG, lossy audio) stay a clearly-marked stub (decode_pixels_stub /
-    error 'codec_unavailable'): those need PIL/ffmpeg, absent in this
+    RGB, and RGBA color types), and non-interlaced GIF (pure-Python
+    variable-width LZW + palette mapping, first frame).
+  * REMAINING codecs (JPEG pixel data, palette/interlaced/16-bit PNG,
+    interlaced/animated GIF frames past the first, lossy audio) stay a
+    clearly-marked stub (decode_pixels_stub / error
+    'codec_unavailable'): those need PIL/ffmpeg, absent in this
     container; a real deployment swaps that one function body.
 The Spark-side plumbing — schema, partitioning, UDF signature, Arrow
 batch shape — is real and tested either way.
@@ -182,15 +184,135 @@ def decode_pixels_stub(payloads: pd.Series) -> pd.Series:
     """REMAINING-codec decode stub — the one function a real
     deployment replaces with PIL.Image.open / an audio codec. The
     container lacks those libraries, so this raises by contract rather
-    than fake pixels. BMP pixels, WAV PCM samples, and 8-bit
-    non-interlaced PNG ARE decoded for real — see decode_values /
-    pixel_stats."""
+    than fake pixels. BMP pixels, WAV PCM samples, 8-bit non-interlaced
+    PNG, and non-interlaced GIF ARE decoded for real — see
+    decode_values / pixel_stats."""
     raise NotImplementedError(
-        "JPEG/GIF pixels, palette/interlaced/16-bit PNG, and lossy "
-        "audio require PIL/ffmpeg (absent in this environment); header "
-        "decode (parse_header) and BMP/WAV/8-bit-PNG value decode "
-        "(decode_values) are real"
+        "JPEG pixels, palette/interlaced/16-bit PNG, interlaced GIF, "
+        "and lossy audio require PIL/ffmpeg (absent in this "
+        "environment); header decode (parse_header) and "
+        "BMP/WAV/PNG/GIF value decode (decode_values) are real"
     )
+
+
+def _lzw_decode(data: bytes, min_code: int) -> bytes | None:
+    """GIF-flavor LZW (variable width, LSB-first bit packing, clear/end
+    codes, 12-bit cap) — pure stdlib. Returns the index stream, or
+    None on a corrupt code."""
+    clear = 1 << min_code
+    end = clear + 1
+    init = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(init)
+    width = min_code + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = list(init)
+                width = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _gif_pixels(payload: bytes) -> tuple | str:
+    """Real GIF pixel decode, stdlib-only: logical-screen + color-table
+    parse, extension-block skip, sub-block reassembly, LZW inflate
+    (_lzw_decode), palette mapping to RGB byte triples. First image
+    frame only (animation = the remaining honest gap, with interlace);
+    returns (rgb ndarray [n_px, 3] int64, n_px) or an error string."""
+    import numpy as np
+
+    n = len(payload)
+    if n < 13:
+        return "truncated"
+    packed = payload[10]
+    gct_size = 2 << (packed & 0x07)
+    i = 13
+    gct = None
+    if packed & 0x80:
+        if i + 3 * gct_size > n:
+            return "truncated"
+        gct = payload[i : i + 3 * gct_size]
+        i += 3 * gct_size
+    while i < n:
+        b = payload[i]
+        if b == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < n and payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            if i + 10 > n:
+                return "truncated"
+            w, h = struct.unpack("<HH", payload[i + 5 : i + 9])
+            ipack = payload[i + 9]
+            i += 10
+            if ipack & 0x40:  # interlaced
+                return "codec_unavailable"
+            pal = gct
+            if ipack & 0x80:
+                lct_size = 2 << (ipack & 0x07)
+                if i + 3 * lct_size > n:
+                    return "truncated"
+                pal = payload[i : i + 3 * lct_size]
+                i += 3 * lct_size
+            if pal is None or i >= n:
+                return "truncated"
+            min_code = payload[i]
+            i += 1
+            data = bytearray()
+            while i < n and payload[i] != 0:
+                ln = payload[i]
+                data += payload[i + 1 : i + 1 + ln]
+                i += 1 + ln
+            if i >= n:
+                return "truncated"
+            if not (2 <= min_code <= 8):
+                return "malformed"
+            idx = _lzw_decode(bytes(data), min_code)
+            if idx is None:
+                return "malformed"
+            if len(idx) < w * h:
+                return "truncated"
+            arr = np.frombuffer(idx, dtype=np.uint8, count=w * h).astype(
+                np.int64
+            )
+            if int(arr.max(initial=0)) * 3 + 2 >= len(pal):
+                return "malformed"
+            p = np.frombuffer(pal, dtype=np.uint8).astype(np.int64)
+            rgb = p.reshape(-1, 3)[arr]
+            return rgb, w * h
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            return "malformed"
+    return "truncated"
 
 
 def _png_unfilter(payload: bytes) -> tuple | str:
@@ -371,6 +493,19 @@ def decode_values(payload: bytes | None) -> dict:
                 out["sum_r"] = int(px[:, 0].sum())
                 out["sum_g"] = int(px[:, 1].sum())
                 out["sum_b"] = int(px[:, 2].sum())
+        elif payload.startswith((b"GIF87a", b"GIF89a")):
+            out["kind"] = "gif"
+            dec = _gif_pixels(payload)
+            if isinstance(dec, str):
+                out["error"] = dec
+                return out
+            rgb, _npx = dec
+            out["n_values"] = int(rgb.size)
+            out["sum_v"] = int(rgb.sum())
+            out["min_v"], out["max_v"] = int(rgb.min()), int(rgb.max())
+            out["sum_r"] = int(rgb[:, 0].sum())
+            out["sum_g"] = int(rgb[:, 1].sum())
+            out["sum_b"] = int(rgb[:, 2].sum())
         elif payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
             out["kind"] = "wav"
             i, n = 12, len(payload)

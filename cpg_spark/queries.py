@@ -4110,6 +4110,66 @@ def _synth_png(doc_id: int) -> bytes:
             + chunk(b"IEND", b""))
 
 
+def _synth_gif(doc_id: int) -> bytes:
+    """Deterministic REAL GIF fixture: palette color c channel ch =
+    (id*7 + c*3 + ch*11) % 256, pixel j's palette index =
+    (id + j) % n_colors — the closed forms the oracle replays. The
+    index stream is LZW-compressed with an encoder that SIMULATES the
+    decoder's dictionary growth exactly (raw index codes only, width
+    bumps at the same table sizes), so the decoder's variable-width
+    bit unpacking, clear/end handling, and palette mapping are all
+    exercised under the oracle gate."""
+    import struct as _s
+
+    w, h = 2 + doc_id % 5, 1 + doc_id % 3
+    min_code = 2 + doc_id % 3
+    nc = 1 << min_code
+    palette = bytes(
+        (doc_id * 7 + c * 3 + ch * 11) % 256
+        for c in range(nc)
+        for ch in range(3)
+    )
+    indices = [(doc_id + j) % nc for j in range(w * h)]
+
+    clear, end = nc, nc + 1
+    buf = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code + 1
+    emit(clear, width)
+    size, first = clear + 2, True
+    for idx in indices:
+        emit(idx, width)
+        if first:
+            first = False
+        else:
+            size += 1
+            if size == (1 << width) and width < 12:
+                width += 1
+    emit(end, width)
+    if nbits:
+        buf.append(acc & 0xFF)
+    sub = bytearray()
+    for o in range(0, len(buf), 255):
+        chunk = buf[o : o + 255]
+        sub.append(len(chunk))
+        sub += chunk
+    sub.append(0)
+    screen = _s.pack("<HHBBB", w, h, 0x80 | (min_code - 1), 0, 0)
+    imgdesc = b"\x2c" + _s.pack("<HHHHB", 0, 0, w, h, 0)
+    return (b"GIF89a" + screen + palette + imgdesc
+            + bytes([min_code]) + bytes(sub) + b"\x3b")
+
+
 def _synth_wav_pcm(doc_id: int, bits: int) -> bytes:
     """Deterministic PCM WAV fixture: 16+id%17 mono samples; 16-bit
     sample i = ((id*7 + i*13) % 65536) - 32768, 8-bit sample i =
@@ -4160,15 +4220,17 @@ def q_mm_pixel_stats(spark, sf_dir):
             payloads = []
             for d in pdf["doc_id"]:
                 d = int(d)
-                m = d % 4
+                m = d % 5
                 if m == 0:
                     payloads.append(_synth_bmp24(d))
                 elif m == 1:
                     payloads.append(_synth_wav_pcm(d, 16))
                 elif m == 2:
                     payloads.append(_synth_png(d))
-                else:
+                elif m == 3:
                     payloads.append(_synth_wav_pcm(d, 8))
+                else:
+                    payloads.append(_synth_gif(d))
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
@@ -4195,7 +4257,7 @@ def q_mm_pixel_stats(spark, sf_dir):
 
 SQL_MM_PIXEL_STATS = """
 WITH base AS (
-  SELECT doc_id, doc_id % 4 AS m FROM documents
+  SELECT doc_id, doc_id % 5 AS m FROM documents
 ), bmpj AS (
   SELECT b.doc_id, t.j, (b.doc_id * 31 + t.j) % 256 AS v
   FROM (SELECT doc_id, 3 * (2 + doc_id % 7) * (1 + doc_id % 5) AS nv
@@ -4252,11 +4314,30 @@ WITH base AS (
          CAST(SUM(v) AS BIGINT) / COUNT(*) AS mean_v,
          CAST(NULL AS VARCHAR) AS error
   FROM pngj GROUP BY doc_id
+), gifj AS (
+  SELECT g.doc_id, t0.j, t.ch,
+         (g.doc_id * 7 + ((g.doc_id + t0.j) % g.nc) * 3 + t.ch * 11) % 256 AS v
+  FROM (SELECT doc_id,
+               (2 + doc_id % 5) * (1 + doc_id % 3) AS npx,
+               CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 16 END AS nc
+        FROM base WHERE m = 4) g,
+       unnest(range(0, g.npx)) AS t0(j), unnest(range(0, 3)) AS t(ch)
+), gif AS (
+  SELECT doc_id AS media_id, 'gif' AS kind,
+         CAST(COUNT(*) AS BIGINT) AS n_values,
+         CAST(SUM(v) AS BIGINT) AS sum_v,
+         CAST(MIN(v) AS INT) AS min_v, CAST(MAX(v) AS INT) AS max_v,
+         CAST(SUM(v) FILTER (WHERE ch = 0) AS BIGINT) AS sum_r,
+         CAST(SUM(v) FILTER (WHERE ch = 1) AS BIGINT) AS sum_g,
+         CAST(SUM(v) FILTER (WHERE ch = 2) AS BIGINT) AS sum_b,
+         CAST(SUM(v) AS BIGINT) / COUNT(*) AS mean_v,
+         CAST(NULL AS VARCHAR) AS error
+  FROM gifj GROUP BY doc_id
 )
 SELECT media_id, kind, n_values, sum_v, sum_r, sum_g, sum_b,
        min_v, max_v, mean_v, error
 FROM (SELECT * FROM bmp UNION ALL SELECT * FROM wav
-      UNION ALL SELECT * FROM png)
+      UNION ALL SELECT * FROM png UNION ALL SELECT * FROM gif)
 """
 
 

@@ -1210,3 +1210,40 @@ def test_sq8_encode_and_adc(spark):
         got_ids = [n for _, n in sorted(by_q[qid])]
         # same cluster members dominate: top-3 sets agree with exact
         assert set(got_ids) == {vid for _, vid in exact}, qid
+
+
+def test_decode_values_real_gif(spark):
+    """GIF pixel decode is REAL (variable-width LZW + palette mapping):
+    the fixture's raw-index encoding still forces the decoder through
+    clear/end codes and the exact width-growth schedule; interlaced
+    images and corrupt LZW degrade to typed errors, never a raise."""
+    from cpg_spark.queries import _synth_gif
+
+    for d in (0, 4, 9, 14, 19, 29):
+        got = multimodal.decode_values(_synth_gif(d))
+        w, h = 2 + d % 5, 1 + d % 3
+        nc = 1 << (2 + d % 3)
+        idx = [(d + j) % nc for j in range(w * h)]
+        vals = [
+            (d * 7 + i * 3 + ch * 11) % 256 for i in idx for ch in range(3)
+        ]
+        assert (got["kind"], got["error"]) == ("gif", None), (d, got)
+        assert got["n_values"] == len(vals) and got["sum_v"] == sum(vals), d
+        for ch, name in enumerate(("sum_r", "sum_g", "sum_b")):
+            assert got[name] == sum(
+                v for k, v in enumerate(vals) if k % 3 == ch
+            ), (d, name)
+    # interlace flag -> codec_unavailable (image-descriptor packed bit 6)
+    raw = bytearray(_synth_gif(4))
+    desc = raw.index(0x2C, 13)
+    raw[desc + 9] |= 0x40
+    assert (
+        multimodal.decode_values(bytes(raw))["error"] == "codec_unavailable"
+    )
+    # corrupt LZW (chop the data sub-blocks) -> truncated/malformed
+    fresh = _synth_gif(4)
+    short = fresh[: desc + 12] + b"\x00\x3b"
+    assert multimodal.decode_values(short)["error"] in (
+        "truncated", "malformed",
+    )
+    assert multimodal.decode_values(b"GIF89a")["error"] == "truncated"
