@@ -124,3 +124,78 @@ def char_poly_hash_py(s: str) -> int:
     for ch in s:
         acc = (acc * 31 + ord(ch)) % CHAR_POLY_P
     return acc
+
+
+# second independent family (multiplier 37, different prime): prefix
+# salts do NOT make family-1 hashes independent — h(salt||v) differs
+# from h(v) by a length-determined constant, so any pair of family-1
+# hashes of the same value are affinely related and their low bits are
+# mutually determined (this collapsed HLL's per-register rho to a
+# constant; see operators/sketches.py). A different multiplier is a
+# different linear combination of the char values — effectively
+# independent residues, same overflow bounds (acc < P2 < 2^30).
+CHAR_POLY_P2 = 999_999_937
+
+
+def char_poly_hash2_col(s: Column) -> Column:
+    chars = F.filter(F.split(s, ""), lambda c: F.length(c) > 0)
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 37 + F.ascii(c)) % CHAR_POLY_P2,
+    )
+
+
+def char_poly_hash2_sql(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, b) -> (a * 37 + b) % {CHAR_POLY_P2})"
+    )
+
+
+def char_poly_hash2_py(s: str) -> int:
+    acc = 0
+    for ch in s:
+        acc = (acc * 37 + ord(ch)) % CHAR_POLY_P2
+    return acc
+
+
+# engine-portable 32-bit avalanche finalizer (the public-domain
+# xor-shift/multiply "lowbias32" shape): polynomial residues are fine
+# as EQUALITY keys but their bit-level statistics are structured —
+# trailing zeros correlate across families (all odd multipliers share
+# parity pre-reduction) and low bits bias bucket assignment on
+# sequential keys, which collapsed HLL register statistics (see
+# operators/sketches.py). Every op here is exact int64 arithmetic
+# (inputs < 2^32, products < 2^58 — no overflow under ANSI mode) and
+# identical in Spark and DuckDB: XOR, logical-equivalent right shift
+# on non-negative values, masked multiply.
+AVALANCHE_MULT = 0x45D9F3B
+_MASK32 = 0xFFFFFFFF
+
+
+def avalanche32_col(h: Column) -> Column:
+    y = h.bitwiseXOR(F.shiftright(h, 16))
+    y = (y * AVALANCHE_MULT).bitwiseAND(F.lit(_MASK32).cast("long"))
+    y = y.bitwiseXOR(F.shiftright(y, 16))
+    y = (y * AVALANCHE_MULT).bitwiseAND(F.lit(_MASK32).cast("long"))
+    return y.bitwiseXOR(F.shiftright(y, 16))
+
+
+def avalanche32_sql(expr: str) -> str:
+    m, k = _MASK32, AVALANCHE_MULT
+    e = f"CAST({expr} AS BIGINT)"
+    y1 = f"(xor({e}, ({e}) >> 16))"
+    y2 = f"((({y1}) * CAST({k} AS BIGINT)) & {m})"
+    y3 = f"(xor({y2}, ({y2}) >> 16))"
+    y4 = f"((({y3}) * CAST({k} AS BIGINT)) & {m})"
+    return f"xor({y4}, ({y4}) >> 16)"
+
+
+def avalanche32_py(h: int) -> int:
+    y = (h ^ (h >> 16)) & _MASK32
+    y = (y * AVALANCHE_MULT) & _MASK32
+    y = y ^ (y >> 16)
+    y = (y * AVALANCHE_MULT) & _MASK32
+    return y ^ (y >> 16)

@@ -1,0 +1,125 @@
+"""Mergeable sketches over the corpus — the approximate-analytics
+family a 100 TB pipeline runs where exact answers would shuffle the
+world: vocabulary-size estimation (HyperLogLog) for tokenizer/BPE
+budgeting and corpus telemetry.
+
+Engine-parity design (the repo's oracle rule): every randomized piece
+is replaced by the deterministic portable polynomial hash
+(functions/hashing.py), register updates are combinable integer MAX
+(map-side partials, order-free), and the final HLL estimate's harmonic
+sum is a sum of dyadic rationals spanning < 53 bits — EXACT in IEEE
+double and therefore order-independent, so the whole sketch (registers
+AND estimate) is bit-replayable in DuckDB with no sequential-fold
+machinery at all. The classic small-range linear-counting correction
+needs ln(), which libm renders differently across engines (the
+repo-wide no-log rule), so the estimator is the RAW HLL formula with
+the bias documented: below ~2.5m distinct values it over-corrects, and
+callers that need small-range accuracy read `n_zero_registers` (also
+returned) and apply linear counting driver-side.
+
+Reference lineage: the reference's StatisticsCollectionPass
+(cpg StatisticsCollectionPass.kt) collects exact per-graph counts;
+at web scale the same telemetry needs mergeable sketches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    avalanche32_col,
+    char_poly_hash2_col,
+    char_poly_hash_col,
+)
+
+# Register index and rho word come from the TWO independent polynomial
+# families, each passed through the avalanche finalizer. Both steps are
+# load-bearing and were found empirically (tests/test_sketches.py
+# guards the envelope): (1) prefix-salted variants of ONE family are
+# affinely related (h(salt||v) = h(v)+const pre-reduction), which
+# pinned every register's rho to a constant; (2) even with two
+# families, raw polynomial residues have structured bit statistics —
+# all odd multipliers share parity pre-reduction and low bits bias
+# bucket assignment on sequential keys — which skewed register
+# occupancy into a 0.6 underestimate. Avalanching both words restores
+# textbook HLL behavior (~1.04/sqrt(m) error, measured).
+HLL_RHO_CAP = 33  # avalanched word < 2^32; all-zero caps at 33
+
+
+def _rho(h: Column) -> Column:
+    """Position of the lowest set bit of h, 1-based; h=0 -> cap.
+    bin(h & -h) has length k+1 for lowbit 2^k — exact integer/string
+    ops only, identical in DuckDB (bin())."""
+    return F.when(h == 0, F.lit(HLL_RHO_CAP)).otherwise(
+        F.length(F.bin(h.bitwiseAND(-h)))
+    ).cast("int")
+
+
+def hll_registers(
+    df: DataFrame,
+    value: Column,
+    group_cols: list[str],
+    p: int = 12,
+) -> DataFrame:
+    """(group..., reg, rho): HLL register table at precision p (m=2^p
+    registers) — ONE combinable aggregation (max per register); merging
+    two corpora's registers is the same max, which is what makes the
+    sketch append-only at 10^12 documents. Only occupied registers are
+    materialized (empty ones contribute 2^0 to the estimate sum)."""
+    m = 1 << p
+    idx = avalanche32_col(char_poly_hash_col(value)) % m
+    rho = _rho(avalanche32_col(char_poly_hash2_col(value)))
+    return (
+        df.select(*group_cols, idx.alias("reg"), rho.alias("__rho"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("__rho").alias("rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str], p: int = 12
+) -> DataFrame:
+    """Raw HLL estimate per group from a register table:
+
+        E = alpha_m * m^2 / (sum_occupied 2^-rho + n_empty * 1.0)
+
+    The sum is dyadic-exact (see module docstring) so a combinable
+    F.sum is bit-deterministic here — no ordered fold needed. Returns
+    (group..., n_zero_registers, est_distinct)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # 2^-rho as 1/(1<<rho): shift and cast are exact integers, the
+    # reciprocal of a power of two is exact — never libm pow(), whose
+    # rounding is not pinned across engines
+    occ = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("__n_occ"),
+        F.sum(
+            F.expr(
+                "CAST(1.0 AS DOUBLE)"
+                " / CAST(shiftleft(CAST(1 AS BIGINT), rho) AS DOUBLE)"
+            )
+        ).alias("__s_occ"),
+    )
+    n_zero = (F.lit(m) - F.col("__n_occ")).cast("long")
+    denom = F.col("__s_occ") + n_zero.cast("double")
+    return occ.select(
+        *group_cols,
+        n_zero.alias("n_zero_registers"),
+        (F.lit(alpha) * F.lit(float(m)) * F.lit(float(m)) / denom).alias(
+            "est_distinct"
+        ),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    value: Column,
+    group_cols: list[str],
+    p: int = 12,
+) -> DataFrame:
+    """registers -> estimate in one call. At p=12 (4096 registers,
+    ~1.6% standard error) a corpus-wide vocabulary estimate costs one
+    4096-row-bounded aggregation instead of a corpus-wide distinct
+    shuffle."""
+    return hll_estimate(hll_registers(df, value, group_cols, p), group_cols, p)

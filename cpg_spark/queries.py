@@ -21,7 +21,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.arrays import chunk_array, sorted_pairs
-from .functions.hashing import CHAR_POLY_P, char_poly_hash_sql
+from .functions.hashing import (  # noqa: F401
+    CHAR_POLY_P,
+    avalanche32_sql,
+    char_poly_hash2_sql,
+    char_poly_hash_sql,
+)
 from .operators import canonicalize, dedup, similarity, textstats
 
 # ---------------------------------------------------------------------------
@@ -5117,6 +5122,82 @@ FROM nodes n LEFT JOIN pn ON pn.node = n.node
 """
 
 
+_HLL_P = 10
+_HLL_M = 1 << _HLL_P
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+
+
+def q_ts_hll_postings(spark, sf_dir):
+    """Inverted-index-size estimation via the deterministic HyperLogLog
+    (operators/sketches.py): distinct (doc, token) postings corpus-wide
+    — portable-hash registers, combinable MAX updates, dyadic-exact
+    harmonic sum; the mergeable telemetry sketch a 10^12-document
+    corpus runs instead of a global distinct shuffle. p=10 keeps the
+    fixture cardinality (~11.7k at sf0.01) inside raw HLL's calibrated
+    range (>2.5m); the small-range linear-counting correction needs
+    libm ln() (not engine-pinned — the repo no-log rule) and is
+    documented out of scope, with n_zero_registers returned so a
+    caller can apply it driver-side. The exact count rides along so
+    the estimate's accuracy is visible in the result; the oracle
+    replays registers and estimate bit-exactly."""
+    from .operators import sketches
+
+    docs = t_par(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(
+            "doc_id",
+            F.explode(textstats.doc_tokens(F.col("text"))).alias("tok"),
+        )
+        .select(
+            F.lit("corpus").alias("scope"),
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit("|"), F.col("tok")
+            ).alias("posting"),
+        )
+    )
+    est = sketches.hll_distinct(pairs, F.col("posting"), ["scope"], p=_HLL_P)
+    exact = pairs.groupBy("scope").agg(
+        F.countDistinct("posting").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "scope").select(
+        "scope", "n_zero_registers", "est_distinct", "exact_distinct"
+    )
+
+
+SQL_TS_HLL_POSTINGS = f"""
+WITH pairs AS (
+  SELECT 'corpus' AS scope,
+         CAST(doc_id AS VARCHAR) || '|' || tok AS posting
+  FROM (SELECT doc_id, unnest({TOKEN_SQL}) AS tok FROM documents)
+), hashed AS (
+  SELECT scope, posting,
+         {avalanche32_sql(char_poly_hash_sql("posting"))} % {_HLL_M} AS reg,
+         {avalanche32_sql(char_poly_hash2_sql("posting"))} AS hr
+  FROM pairs
+), regs AS (
+  SELECT scope, reg,
+         MAX(CASE WHEN hr = 0 THEN 33
+                  ELSE length(bin(hr & -hr)) END) AS rho
+  FROM hashed GROUP BY 1, 2
+), occ AS (
+  SELECT scope, COUNT(*) AS n_occ,
+         SUM(CAST(1.0 AS DOUBLE)
+             / CAST((CAST(1 AS BIGINT) << rho) AS DOUBLE)) AS s_occ
+  FROM regs GROUP BY 1
+), ex AS (
+  SELECT scope, CAST(COUNT(DISTINCT posting) AS BIGINT) AS exact_distinct
+  FROM pairs GROUP BY 1
+)
+SELECT o.scope,
+       CAST({_HLL_M} - n_occ AS BIGINT) AS n_zero_registers,
+       CAST({_HLL_ALPHA!r} AS DOUBLE) * CAST({float(_HLL_M)!r} AS DOUBLE)
+         * CAST({float(_HLL_M)!r} AS DOUBLE)
+         / (s_occ + CAST({_HLL_M} - n_occ AS DOUBLE)) AS est_distinct,
+       ex.exact_distinct
+FROM occ o JOIN ex USING (scope)
+"""
+
+
 R7_CANDIDATES: tuple[str, ...] = (
     "dd_exactsubstr",
     "ts_c4_gates",
@@ -5124,6 +5205,7 @@ R7_CANDIDATES: tuple[str, ...] = (
     "kg_label_prop",
     "sim_sq8_topk",
     "kg_triangles",
+    "ts_hll_postings",
 )
 
 QUERIES.update({
@@ -5133,4 +5215,5 @@ QUERIES.update({
     "kg_label_prop": (q_kg_label_prop, SQL_KG_LABEL_PROP),
     "sim_sq8_topk": (q_sim_sq8_topk, SQL_SIM_SQ8_TOPK),
     "kg_triangles": (q_kg_triangles, SQL_KG_TRIANGLES),
+    "ts_hll_postings": (q_ts_hll_postings, SQL_TS_HLL_POSTINGS),
 })
