@@ -123,3 +123,91 @@ def hll_distinct(
     4096-row-bounded aggregation instead of a corpus-wide distinct
     shuffle."""
     return hll_estimate(hll_registers(df, value, group_cols, p), group_cols, p)
+
+
+# Count-Min row hashes via Kirsch-Mitzenmacher double hashing:
+# g_i(v) = avalanche32((h1(v) + i*h2(v)) mod 2^32) mod w — two base
+# families simulate d independent hashes (Kirsch & Mitzenmacher 2006),
+# and the finalizer fixes the same structured-bit-statistics issue the
+# HLL registers hit (see above).
+CMS_DEPTH = 4
+
+
+def cms_counters(
+    df: DataFrame,
+    value: Column,
+    group_cols: list[str],
+    w: int = 1 << 12,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """(group..., row, slot, c): Count-Min counter table — ONE
+    combinable integer-sum aggregation over depth*|rows| update pairs
+    (each value explodes to `depth` (row, slot) increments in the
+    scan). Merging two corpora's sketches is elementwise +, the
+    append-only contract. Size is bounded by depth*w counters per
+    group regardless of corpus size."""
+    h1 = avalanche32_col(char_poly_hash_col(value))
+    h2 = avalanche32_col(char_poly_hash2_col(value))
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (
+                    avalanche32_col((h1 + F.lit(i) * h2) % F.lit(1 << 32))
+                    % w
+                ).alias("slot"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(*group_cols, F.explode(rows).alias("rs"))
+        .groupBy(*group_cols, F.col("rs.row").alias("row"),
+                 F.col("rs.slot").alias("slot"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    queries: DataFrame,
+    value: Column,
+    group_cols: list[str],
+    w: int = 1 << 12,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """Point-frequency estimates for `queries` (one row per value to
+    probe, same group columns): est = MIN over the depth counters —
+    the classic one-sided bound (never under-counts, over-counts by
+    collisions <= eps*N with prob 1-delta). All integer: exact,
+    combinable, order-free, bit-replayable. Returns
+    (group..., value, est_count)."""
+    h1 = avalanche32_col(char_poly_hash_col(value))
+    h2 = avalanche32_col(char_poly_hash2_col(value))
+    probes = queries.select(
+        *group_cols,
+        value.alias("value"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        (
+                            avalanche32_col(
+                                (h1 + F.lit(i) * h2) % F.lit(1 << 32)
+                            )
+                            % w
+                        ).alias("slot"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rs"),
+    ).select(
+        *group_cols, "value",
+        F.col("rs.row").alias("row"), F.col("rs.slot").alias("slot"),
+    )
+    joined = probes.join(counters, [*group_cols, "row", "slot"], "left")
+    return joined.groupBy(*group_cols, "value").agg(
+        F.min(F.coalesce("c", F.lit(0))).cast("long").alias("est_count")
+    )

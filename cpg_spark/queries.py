@@ -5198,6 +5198,92 @@ FROM occ o JOIN ex USING (scope)
 """
 
 
+_CMS_W = 4096
+_CMS_D = 4
+_CMS_MIN_COUNT = 50
+
+
+def q_ts_cms_heavy(spark, sf_dir):
+    """Heavy-hitter token frequencies via the deterministic Count-Min
+    sketch (operators/sketches.py — Cormode & Muthukrishnan, with
+    Kirsch-Mitzenmacher double hashing over the two portable hash
+    families): counters are ONE combinable integer-sum aggregation
+    bounded at depth*w cells regardless of corpus size, the estimate
+    is a min over d counters — never under, over only by collision
+    mass. Tokens with exact count >= 50 are probed with the exact
+    count riding along, so the one-sided error is visible in the
+    result; everything integer, bit-exact under the oracle."""
+    from .operators import sketches
+
+    docs = t_par(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.lit("corpus").alias("scope"),
+        F.explode(textstats.doc_tokens(F.col("text"))).alias("tok"),
+    )
+    counters = sketches.cms_counters(
+        toks, F.col("tok"), ["scope"], w=_CMS_W, depth=_CMS_D
+    )
+    exact = toks.groupBy("scope", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    ).filter(F.col("exact_count") >= _CMS_MIN_COUNT)
+    est = sketches.cms_estimate(
+        counters,
+        exact.select("scope", "tok"),
+        F.col("tok"),
+        ["scope"],
+        w=_CMS_W,
+        depth=_CMS_D,
+    )
+    return (
+        est.join(
+            exact,
+            (est["scope"] == exact["scope"]) & (est["value"] == exact["tok"]),
+        )
+        .select(
+            est["value"].alias("token"), "est_count", "exact_count",
+        )
+    )
+
+
+def _cms_slot_sql(i: int) -> str:
+    h1 = avalanche32_sql(char_poly_hash_sql("tok"))
+    h2 = avalanche32_sql(char_poly_hash2_sql("tok"))
+    return (
+        avalanche32_sql(f"(({h1}) + {i} * ({h2})) % 4294967296")
+        + f" % {_CMS_W}"
+    )
+
+
+SQL_TS_CMS_HEAVY = f"""
+WITH toks AS (
+  SELECT unnest({TOKEN_SQL}) AS tok FROM documents
+), upd AS (
+  SELECT t.tok, u.row, CASE u.row
+    {chr(10).join(f"WHEN {i} THEN {_cms_slot_sql(i)}" for i in range(4))}
+  END AS slot
+  FROM toks t CROSS JOIN unnest(range(0, {_CMS_D})) AS u(row)
+), counters AS (
+  SELECT row, slot, CAST(COUNT(*) AS BIGINT) AS c
+  FROM upd GROUP BY 1, 2
+), exact AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_count
+  FROM toks GROUP BY 1 HAVING COUNT(*) >= {_CMS_MIN_COUNT}
+), probes AS (
+  SELECT e.tok, u.row, CASE u.row
+    {chr(10).join(f"WHEN {i} THEN {_cms_slot_sql(i)}" for i in range(4))}
+  END AS slot, e.exact_count
+  FROM (SELECT tok, exact_count FROM exact) e,
+       unnest(range(0, {_CMS_D})) AS u(row)
+)
+SELECT p.tok AS token,
+       CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS est_count,
+       p.exact_count
+FROM probes p
+LEFT JOIN counters c ON c.row = p.row AND c.slot = p.slot
+GROUP BY 1, 3
+"""
+
+
 R7_CANDIDATES: tuple[str, ...] = (
     "dd_exactsubstr",
     "ts_c4_gates",
@@ -5206,6 +5292,7 @@ R7_CANDIDATES: tuple[str, ...] = (
     "sim_sq8_topk",
     "kg_triangles",
     "ts_hll_postings",
+    "ts_cms_heavy",
 )
 
 QUERIES.update({
@@ -5216,4 +5303,5 @@ QUERIES.update({
     "sim_sq8_topk": (q_sim_sq8_topk, SQL_SIM_SQ8_TOPK),
     "kg_triangles": (q_kg_triangles, SQL_KG_TRIANGLES),
     "ts_hll_postings": (q_ts_hll_postings, SQL_TS_HLL_POSTINGS),
+    "ts_cms_heavy": (q_ts_cms_heavy, SQL_TS_CMS_HEAVY),
 })

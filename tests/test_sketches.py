@@ -82,3 +82,47 @@ def test_hll_deterministic_replay(spark):
     ).collect()[0]
     assert e1["est_distinct"] == e2["est_distinct"]
     assert e1["n_zero_registers"] == e2["n_zero_registers"]
+
+
+def test_cms_never_undercounts_and_is_mergeable(spark):
+    """Count-Min contract on a skewed corpus: est >= exact for every
+    probed value (one-sided), exact for heavy hitters when w >> vocab,
+    bounded overcount, and merged counters (elementwise +) equal the
+    union's counters."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(40):
+        rows += [("g", f"tok{i}")] * (500 if i < 3 else 5)
+    a = spark.createDataFrame(rows[: len(rows) // 2], "g string, v string")
+    b = spark.createDataFrame(rows[len(rows) // 2:], "g string, v string")
+    full = a.unionByName(b)
+    exact = {
+        r["v"]: r["c"]
+        for r in full.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    counters = sketches.cms_counters(full, F.col("v"), ["g"], w=1 << 12)
+    probes = full.select("g", "v").distinct()
+    est = {
+        r["value"]: r["est_count"]
+        for r in sketches.cms_estimate(
+            counters, probes, F.col("v"), ["g"], w=1 << 12
+        ).collect()
+    }
+    for v, c in exact.items():
+        assert est[v] >= c, (v, est[v], c)
+        assert est[v] <= c + 40, (v, est[v], c)  # tiny collision mass
+    # 40 values in 4096 slots x 4 rows: heavy hitters exact
+    for i in range(3):
+        assert est[f"tok{i}"] == exact[f"tok{i}"]
+    # mergeability: counters(A) + counters(B) == counters(A u B)
+    ca = sketches.cms_counters(a, F.col("v"), ["g"], w=1 << 12)
+    cb = sketches.cms_counters(b, F.col("v"), ["g"], w=1 << 12)
+    merged = (
+        ca.unionByName(cb)
+        .groupBy("g", "row", "slot")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    got = {(r["row"], r["slot"]): r["c"] for r in merged.collect()}
+    exp = {(r["row"], r["slot"]): r["c"] for r in counters.collect()}
+    assert got == exp
