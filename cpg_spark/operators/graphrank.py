@@ -512,3 +512,93 @@ def triangle_count(
             ),
         )
     )
+
+
+def link_predict(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Neighborhood-based link prediction for KG completion: score
+    every NON-adjacent pair that shares at least one neighbor by
+    common-neighbor count and neighborhood Jaccard
+    (cn / (deg(u) + deg(v) - cn)) — the classic Liben-Nowell &
+    Kleinberg predictors restricted to the rational family (Adamic-
+    Adar's 1/log(deg) weights are out: libm log is not engine-pinned,
+    the repo no-log rule; Jaccard ranks near-identically in practice
+    and is exact in both engines as one integer division).
+
+    Scale shape: candidate pairs come from a wedge self-join keyed by
+    the shared neighbor — the SAME inverted-index shape as the
+    triangle counter, but here both wedge directions are needed, so a
+    hub with degree d emits d^2/2 candidate pairs and there is no
+    degree-ordering escape. The honest web-scale control is
+    `max_degree`: wedge CENTERS above it are excluded (a celebrity
+    entity's co-occurrence list predicts nothing specific anyway — the
+    standard practice), and the exclusion is AUDITED, not silent: the
+    result carries n_centers_dropped so a caller sees exactly what the
+    cap cost, the repo-wide cap-with-audit pattern. Everything else is
+    combinable integer aggregation plus one left-anti join against the
+    existing edge set.
+
+    Returns (u, v, common_neighbors, jaccard, n_centers_dropped) for
+    u < v non-adjacent sharing >= 1 (kept) neighbor."""
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("w"), F.col("b").alias("x")).unionByName(
+        und.select(F.col("b").alias("w"), F.col("a").alias("x"))
+    )
+    deg = adj.groupBy(F.col("w").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    if max_degree is not None:
+        kept_centers = deg.filter(F.col("deg") <= max_degree).select("node")
+        n_dropped = deg.filter(F.col("deg") > max_degree).agg(
+            F.count(F.lit(1)).cast("long").alias("n_centers_dropped")
+        )
+        centers = adj.join(
+            kept_centers.withColumnRenamed("node", "w"), "w"
+        )
+    else:
+        n_dropped = deg.limit(0).agg(
+            F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("long").alias(
+                "n_centers_dropped"
+            )
+        )
+        centers = adj
+    e1 = centers.select("w", F.col("x").alias("u"))
+    e2 = centers.select("w", F.col("x").alias("v"))
+    cn = (
+        e1.join(e2, "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
+    )
+    non_adj = cn.join(
+        und.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("__du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("__dv"))
+    scored = (
+        non_adj.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common_neighbors",
+            (
+                F.col("common_neighbors")
+                / (F.col("__du") + F.col("__dv") - F.col("common_neighbors"))
+            ).alias("jaccard"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(n_dropped))

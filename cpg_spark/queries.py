@@ -5284,6 +5284,66 @@ GROUP BY 1, 3
 """
 
 
+def q_kg_link_predict(spark, sf_dir):
+    """KG-completion link prediction (graphrank.link_predict — the
+    Liben-Nowell & Kleinberg neighborhood predictors, rational-only):
+    the top 25 non-adjacent entity pairs by neighborhood Jaccard over
+    the co-occurrence graph, common-neighbor counts and the cap audit
+    riding along. The oracle replays wedge enumeration, the anti-join,
+    and the single-division scores exactly."""
+    from .operators.graphrank import link_predict
+
+    cooc = q_kg_doc_cooccur(spark, sf_dir)
+    out = link_predict(
+        cooc.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    )
+    w = Window.orderBy(
+        F.desc("jaccard"), F.desc("common_neighbors"), F.asc("u"), F.asc("v")
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 25)
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "u", "v", "common_neighbors", "jaccard",
+        )
+    )
+
+
+SQL_KG_LINK_PREDICT = f"""
+WITH cooc AS MATERIALIZED ({SQL_KG_DOC_COOCCUR.strip()}),
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(subj, obj) AS a, GREATEST(subj, obj) AS b
+  FROM cooc WHERE subj != obj
+), adj AS MATERIALIZED (
+  SELECT a AS w, b AS x FROM und UNION ALL SELECT b, a FROM und
+), deg AS MATERIALIZED (
+  SELECT w AS node, COUNT(*) AS deg FROM adj GROUP BY 1
+), cn AS (
+  SELECT e1.x AS u, e2.x AS v, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+  FROM adj e1 JOIN adj e2 USING (w)
+  WHERE e1.x < e2.x
+  GROUP BY 1, 2
+), nonadj AS (
+  SELECT cn.* FROM cn
+  LEFT JOIN und ON und.a = cn.u AND und.b = cn.v
+  WHERE und.a IS NULL
+), scored AS (
+  SELECT n.u, n.v, n.common_neighbors,
+         n.common_neighbors / (du.deg + dv.deg - n.common_neighbors)
+           AS jaccard
+  FROM nonadj n
+  JOIN deg du ON du.node = n.u
+  JOIN deg dv ON dv.node = n.v
+)
+SELECT CAST(row_number() OVER (ORDER BY jaccard DESC,
+              common_neighbors DESC, u, v) AS INT) AS rank,
+       u, v, common_neighbors, jaccard
+FROM scored
+QUALIFY rank <= 25
+"""
+
+
 R7_CANDIDATES: tuple[str, ...] = (
     "dd_exactsubstr",
     "ts_c4_gates",
@@ -5293,6 +5353,7 @@ R7_CANDIDATES: tuple[str, ...] = (
     "kg_triangles",
     "ts_hll_postings",
     "ts_cms_heavy",
+    "kg_link_predict",
 )
 
 QUERIES.update({
@@ -5304,4 +5365,5 @@ QUERIES.update({
     "kg_triangles": (q_kg_triangles, SQL_KG_TRIANGLES),
     "ts_hll_postings": (q_ts_hll_postings, SQL_TS_HLL_POSTINGS),
     "ts_cms_heavy": (q_ts_cms_heavy, SQL_TS_CMS_HEAVY),
+    "kg_link_predict": (q_kg_link_predict, SQL_KG_LINK_PREDICT),
 })

@@ -597,3 +597,54 @@ def test_triangle_count_exact_vs_bruteforce(spark):
     )
     got = {r["node"]: r["n_triangles"] for r in triangle_count(star).collect()}
     assert set(got.values()) == {0}
+
+
+def test_link_predict_matches_bruteforce(spark):
+    """Common-neighbor / Jaccard link prediction against brute force:
+    every non-adjacent pair with a shared neighbor is scored exactly;
+    adjacent pairs never appear; the max_degree hub cap audits what it
+    dropped instead of silently shrinking the candidate set."""
+    import itertools
+    import random
+
+    from cpg_spark.operators.graphrank import link_predict
+
+    rng = random.Random(0x1B)
+    nodes = [f"n{i}" for i in range(16)]
+    E = set()
+    while len(E) < 34:
+        a, b = rng.sample(nodes, 2)
+        E.add((min(a, b), max(a, b)))
+    adj: dict = {}
+    for a, b in E:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    exp = {}
+    for u, v in itertools.combinations(sorted(adj), 2):
+        if (u, v) in E:
+            continue
+        cn = len(adj[u] & adj[v])
+        if cn:
+            exp[(u, v)] = (cn, cn / (len(adj[u]) + len(adj[v]) - cn))
+    df = spark.createDataFrame(sorted(E), "src string, dst string")
+    got = {
+        (r["u"], r["v"]): (r["common_neighbors"], r["jaccard"])
+        for r in link_predict(df).collect()
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0]
+        assert abs(got[k][1] - exp[k][1]) < 1e-15
+    # hub cap: centers above max_degree excluded, audited
+    capped = link_predict(df, max_degree=3).collect()
+    n_hubs = sum(1 for n in adj if len(adj[n]) > 3)
+    assert capped and all(
+        r["n_centers_dropped"] == n_hubs for r in capped
+    )
+    kept_centers = {n for n in adj if len(adj[n]) <= 3}
+    exp_capped = set()
+    for w in kept_centers:
+        for u, v in itertools.combinations(sorted(adj[w]), 2):
+            if (min(u, v), max(u, v)) not in E:
+                exp_capped.add((min(u, v), max(u, v)))
+    assert {(r["u"], r["v"]) for r in capped} == exp_capped
