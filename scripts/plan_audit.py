@@ -109,7 +109,10 @@ def main() -> None:
     )
 
     # r7 window candidates (added r6): the lazy ones audit directly
-    for name in ("dd_exactsubstr", "ts_c4_gates", "sim_sq8_topk"):
+    for name in (
+        "dd_exactsubstr", "ts_c4_gates", "sim_sq8_topk", "kg_triangles",
+        "ts_hll_postings", "ts_cms_heavy", "kg_link_predict",
+    ):
         fn, _ = QUERIES[name]
         df = fn(spark, sf_dir)
         rows.append((name, audit_plan(df._jdf.queryExecution().explainString(mode))))
