@@ -211,3 +211,71 @@ def cms_estimate(
     return joined.groupBy(*group_cols, "value").agg(
         F.min(F.coalesce("c", F.lit(0))).cast("long").alias("est_count")
     )
+
+
+# Bloom filter over already-hashed keys (e.g. shingle hashes): the k
+# probe positions cascade from the avalanche finalizer — b1 = av(h),
+# b2 = av(b1), pos_i = av((b1 + i*b2) mod 2^32) mod m (the KM double-
+# hashing shape again; cascaded words are empirically independent once
+# avalanched, and everything stays exact portable int64).
+BLOOM_K = 3
+
+
+def bloom_bits(
+    hashed: DataFrame, hash_col: str, m: int = 1 << 14, k: int = BLOOM_K
+) -> DataFrame:
+    """(bit): the distinct set-bit positions of a Bloom filter over the
+    input hash column — at most m rows no matter how large the input,
+    which is the point: an eval suite too big to broadcast raw becomes
+    a fixed-size broadcastable bitmap. Mergeable by plain union +
+    distinct (bitwise OR)."""
+    h = F.col(hash_col).cast("long")
+    b1 = avalanche32_col(h % F.lit(1 << 32))
+    b2 = avalanche32_col(b1)
+    pos = F.array(
+        *[
+            (avalanche32_col((b1 + F.lit(i) * b2) % F.lit(1 << 32)) % m)
+            for i in range(k)
+        ]
+    )
+    return (
+        hashed.select(F.explode(pos).alias("bit")).distinct()
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bits: DataFrame,
+    hash_col: str,
+    m: int = 1 << 14,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Adds `bloom_hit` to `probes`: true iff ALL k positions of the
+    probe's hash are set — the classic one-sided membership (never a
+    false negative; false positives at the standard (1-e^-kn/m)^k
+    rate). The bits frame broadcasts (<= m rows); the probe side never
+    shuffles."""
+    h = F.col(hash_col).cast("long")
+    b1 = avalanche32_col(h % F.lit(1 << 32))
+    b2 = avalanche32_col(b1)
+    exploded = probes.select(
+        "*",
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        avalanche32_col((b1 + F.lit(i) * b2) % F.lit(1 << 32))
+                        % m
+                    )
+                    for i in range(k)
+                ]
+            )
+        ).alias("__i", "bit"),
+    )
+    hit = (
+        exploded.join(F.broadcast(bits.withColumn("__set", F.lit(1))),
+                      "bit", "left")
+        .groupBy(*probes.columns)
+        .agg((F.count("__set") == k).alias("bloom_hit"))
+    )
+    return hit

@@ -5344,6 +5344,103 @@ QUALIFY rank <= 25
 """
 
 
+_BLOOM_M = 1 << 14
+_BLOOM_K = 3
+
+
+def q_dd_bloom_contamination(spark, sf_dir):
+    """Decontamination behind a Bloom bitmap (sketches.bloom_bits /
+    bloom_probe): the eval suite's shingle dictionary compresses to a
+    <=16Ki-bit broadcastable filter — the shape that still works when
+    the held-out suite itself is too large to broadcast raw. One-sided
+    by construction: bloom hits are a SUPERSET of exact hits (never a
+    false negative), and the exact per-doc counts ride along so the
+    false-positive cost is visible in the result. The oracle replays
+    the cascaded KM bit positions, the all-k membership rule, and both
+    counts bit-exactly."""
+    from .operators import sketches
+
+    docs = t_par(spark, sf_dir, "documents")
+    eval_sh = dedup.exploded_shingles(
+        docs.filter(F.col("doc_id") % 97 == 0)
+    ).select("sh").distinct()
+    bits = sketches.bloom_bits(eval_sh, "sh", m=_BLOOM_M, k=_BLOOM_K)
+    doc_sh = dedup.exploded_shingles(docs).select("doc_id", "sh").distinct()
+    probed = sketches.bloom_probe(doc_sh, bits, "sh", m=_BLOOM_M, k=_BLOOM_K)
+    per_doc = probed.groupBy("doc_id").agg(
+        F.sum(F.col("bloom_hit").cast("long")).cast("int").alias(
+            "n_bloom_hits"
+        )
+    )
+    exact = dedup.contamination_flags(docs, eval_sh)
+    return (
+        exact.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bloom_hits", F.lit(0)).cast("int").alias(
+                "n_bloom_hits"
+            ),
+            (F.coalesce("n_bloom_hits", F.lit(0)) >= 1).alias(
+                "bloom_contaminated"
+            ),
+            "n_hits",
+            "contaminated",
+        )
+    )
+
+
+def _bloom_pos_sql(i: int) -> str:
+    b1 = avalanche32_sql("sh % 4294967296")
+    b2 = avalanche32_sql(b1)
+    return (
+        avalanche32_sql(f"(({b1}) + {i} * ({b2})) % 4294967296")
+        + f" % {_BLOOM_M}"
+    )
+
+
+SQL_DD_BLOOM_CONTAMINATION = f"""
+WITH tk AS (
+  SELECT doc_id, {TOKEN_SQL} AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLE_HASH_SQL}) AS sh
+  FROM tk WHERE len(toks) >= 3
+), bench AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0
+), bits AS MATERIALIZED (
+  SELECT DISTINCT bit FROM (
+    SELECT CASE u.i
+      {chr(10).join(f"WHEN {i} THEN {_bloom_pos_sql(i)}" for i in range(3))}
+    END AS bit
+    FROM bench, unnest(range(0, {_BLOOM_K})) AS u(i))
+), probe AS (
+  SELECT s.doc_id, s.sh, u.i, CASE u.i
+      {chr(10).join(f"WHEN {i} THEN {_bloom_pos_sql(i)}" for i in range(3))}
+    END AS bit
+  FROM sh s, unnest(range(0, {_BLOOM_K})) AS u(i)
+), shingle_hits AS (
+  SELECT doc_id, sh,
+         COUNT(b.bit) = {_BLOOM_K} AS bloom_hit
+  FROM probe p LEFT JOIN bits b USING (bit)
+  GROUP BY 1, 2
+), bloomed AS (
+  SELECT doc_id, CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS INT)
+           AS n_bloom_hits
+  FROM shingle_hits GROUP BY 1
+), hits AS (
+  SELECT s.doc_id, COUNT(*) AS n_hits
+  FROM sh s JOIN bench USING (sh) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(b.n_bloom_hits, 0) AS INT) AS n_bloom_hits,
+       COALESCE(b.n_bloom_hits, 0) >= 1 AS bloom_contaminated,
+       CAST(COALESCE(h.n_hits, 0) AS INT) AS n_hits,
+       COALESCE(h.n_hits, 0) >= 1 AS contaminated
+FROM documents d
+LEFT JOIN bloomed b USING (doc_id)
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
 R7_CANDIDATES: tuple[str, ...] = (
     "dd_exactsubstr",
     "ts_c4_gates",
@@ -5354,6 +5451,7 @@ R7_CANDIDATES: tuple[str, ...] = (
     "ts_hll_postings",
     "ts_cms_heavy",
     "kg_link_predict",
+    "dd_bloom_contamination",
 )
 
 QUERIES.update({
@@ -5366,4 +5464,5 @@ QUERIES.update({
     "ts_hll_postings": (q_ts_hll_postings, SQL_TS_HLL_POSTINGS),
     "ts_cms_heavy": (q_ts_cms_heavy, SQL_TS_CMS_HEAVY),
     "kg_link_predict": (q_kg_link_predict, SQL_KG_LINK_PREDICT),
+    "dd_bloom_contamination": (q_dd_bloom_contamination, SQL_DD_BLOOM_CONTAMINATION),
 })

@@ -126,3 +126,40 @@ def test_cms_never_undercounts_and_is_mergeable(spark):
     got = {(r["row"], r["slot"]): r["c"] for r in merged.collect()}
     exp = {(r["row"], r["slot"]): r["c"] for r in counters.collect()}
     assert got == exp
+
+
+def test_bloom_one_sided_membership(spark):
+    """Bloom contract: every inserted hash probes true (no false
+    negatives, ever); false positives stay near the analytic rate at
+    the configured load; the bits table is bounded by m and merges by
+    union."""
+    from pyspark.sql import functions as F
+
+    ins = spark.createDataFrame(
+        [(i * 2654435761 % (1 << 30),) for i in range(2000)], "h long"
+    ).distinct()
+    other = spark.createDataFrame(
+        [((i * 40503 + 7) % (1 << 30) + (1 << 30),) for i in range(2000)],
+        "h long",
+    ).distinct()
+    m, k = 1 << 14, 3
+    bits = sketches.bloom_bits(ins, "h", m=m, k=k)
+    nbits = bits.count()
+    assert nbits <= m
+    got_in = sketches.bloom_probe(ins, bits, "h", m=m, k=k)
+    assert got_in.filter(~F.col("bloom_hit")).count() == 0  # no FN
+    got_out = sketches.bloom_probe(other, bits, "h", m=m, k=k)
+    n_other = other.count()
+    fp = got_out.filter(F.col("bloom_hit")).count() / n_other
+    # analytic rate ~ (1 - e^(-k*2000/m))^k ~ 0.022; allow 3x headroom
+    assert fp < 0.07, fp
+    # mergeability: bits(A) union bits(B) == bits(A u B)
+    b2 = sketches.bloom_bits(other, "h", m=m, k=k)
+    merged = {r["bit"] for r in bits.unionByName(b2).distinct().collect()}
+    union = {
+        r["bit"]
+        for r in sketches.bloom_bits(
+            ins.unionByName(other), "h", m=m, k=k
+        ).collect()
+    }
+    assert merged == union
