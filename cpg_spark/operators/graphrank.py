@@ -602,3 +602,88 @@ def link_predict(
         )
     )
     return scored.crossJoin(F.broadcast(n_dropped))
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    n_rounds: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    cache_static: bool = True,
+    checkpoint_dir: str | None = None,
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """k-core membership by synchronous peeling (Seidman 1983; the
+    Pregel-style determinization): each of the fixed n_rounds removes —
+    SIMULTANEOUSLY — every surviving node whose degree within the
+    surviving subgraph is < k. Entities outside the 2-core are leaf
+    mentions with no mutually-reinforcing context (link-farm/spam
+    signal); the dense cores are the topic nuclei. Completes the
+    in-engine graph family next to pagerank / hits / label_prop /
+    triangles / link_predict.
+
+    Fixed rounds, not run-to-fixpoint (the kmeans_fit/pagerank rule:
+    no data-dependent stopping, same input -> same output at any
+    parallelism); peeling removes >= 1 node per non-converged round, so
+    rounds bound the peel DEPTH, and the pytest asserts convergence on
+    its fixtures while the survivors always over-approximate the true
+    k-core (never under). Per round: one semi-join of the static
+    cached adjacency against the alive set per endpoint + one
+    combinable integer count — no windows, no driver state; the alive
+    frame lineage-truncates per round.
+
+    Returns (node, in_kcore, core_deg) for every node of the input
+    graph — core_deg is the node's degree within the surviving
+    subgraph (0 for peeled nodes)."""
+    from .iterutil import ckpt as _ckpt_impl
+
+    if truncate_lineage:
+        ckpt = _ckpt_impl
+    else:
+        cache_static = False
+        ckpt = lambda df, _dir: df  # noqa: E731
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("w"), F.col("b").alias("x")).unionByName(
+        und.select(F.col("b").alias("w"), F.col("a").alias("x"))
+    )
+    nodes = adj.select(F.col("w").alias("node")).distinct()
+    if cache_static:
+        adj = adj.cache()
+        nodes = nodes.cache()
+    alive = nodes
+    deg = None
+    for _ in range(n_rounds):
+        both = adj.join(
+            alive.withColumnRenamed("node", "w"), "w"
+        ).join(alive.withColumnRenamed("node", "x"), "x")
+        deg = both.groupBy(F.col("w").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("core_deg")
+        )
+        deg = ckpt(deg, checkpoint_dir)
+        alive = deg.filter(F.col("core_deg") >= k).select("node")
+    out = (
+        nodes.join(
+            alive.withColumn("__in", F.lit(True)), "node", "left"
+        )
+        .join(deg, "node", "left")
+        .select(
+            "node",
+            F.coalesce("__in", F.lit(False)).alias("in_kcore"),
+            F.when(
+                F.coalesce("__in", F.lit(False)), F.col("core_deg")
+            ).otherwise(F.lit(0)).cast("long").alias("core_deg"),
+        )
+    )
+    out = ckpt(out, checkpoint_dir)
+    if cache_static:
+        for df in (adj, nodes):
+            df.unpersist()
+    return out

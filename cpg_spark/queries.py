@@ -5441,6 +5441,66 @@ LEFT JOIN hits h USING (doc_id)
 """
 
 
+def q_kg_kcore(spark, sf_dir):
+    """2-core membership of the entity co-occurrence graph
+    (graphrank.kcore, 4 synchronous peel rounds): entities outside the
+    2-core are leaf mentions with no mutually-reinforcing context, the
+    dense cores are topic nuclei. Integer-only — the oracle replays
+    every peel round relationally."""
+    from .operators.graphrank import kcore
+
+    cooc = q_kg_doc_cooccur(spark, sf_dir)
+    out = kcore(
+        cooc.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        k=2,
+        n_rounds=4,
+    )
+    return out.select(
+        F.col("node").alias("entity_id"), "in_kcore", "core_deg"
+    )
+
+
+def _kcore_sql(k: int, n_rounds: int) -> str:
+    ctes = [
+        f"cooc AS MATERIALIZED ({SQL_KG_DOC_COOCCUR.strip()})",
+        "und AS MATERIALIZED (SELECT DISTINCT LEAST(subj, obj) AS a,"
+        " GREATEST(subj, obj) AS b FROM cooc WHERE subj != obj)",
+        "adj AS MATERIALIZED (SELECT a AS w, b AS x FROM und"
+        " UNION ALL SELECT b, a FROM und)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT w AS node FROM adj)",
+        "a0 AS (SELECT node FROM nodes)",
+    ]
+    for r in range(n_rounds):
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT adj.w AS node,"
+            f" CAST(COUNT(*) AS BIGINT) AS core_deg"
+            f" FROM adj"
+            f" JOIN a{r} aw ON aw.node = adj.w"
+            f" JOIN a{r} ax ON ax.node = adj.x"
+            f" GROUP BY 1)"
+        )
+        ctes.append(
+            f"a{r + 1} AS MATERIALIZED (SELECT node FROM d{r}"
+            f" WHERE core_deg >= {k})"
+        )
+    last = n_rounds - 1
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT n.node AS entity_id,
+       a.node IS NOT NULL AS in_kcore,
+       CAST(CASE WHEN a.node IS NOT NULL THEN d.core_deg ELSE 0 END
+            AS BIGINT) AS core_deg
+FROM nodes n
+LEFT JOIN a{n_rounds} a ON a.node = n.node
+LEFT JOIN d{last} d ON d.node = n.node
+"""
+    )
+
+
+SQL_KG_KCORE = _kcore_sql(2, 4)
+
+
 R7_CANDIDATES: tuple[str, ...] = (
     "dd_exactsubstr",
     "ts_c4_gates",
@@ -5452,6 +5512,7 @@ R7_CANDIDATES: tuple[str, ...] = (
     "ts_cms_heavy",
     "kg_link_predict",
     "dd_bloom_contamination",
+    "kg_kcore",
 )
 
 QUERIES.update({
@@ -5465,4 +5526,5 @@ QUERIES.update({
     "ts_cms_heavy": (q_ts_cms_heavy, SQL_TS_CMS_HEAVY),
     "kg_link_predict": (q_kg_link_predict, SQL_KG_LINK_PREDICT),
     "dd_bloom_contamination": (q_dd_bloom_contamination, SQL_DD_BLOOM_CONTAMINATION),
+    "kg_kcore": (q_kg_kcore, SQL_KG_KCORE),
 })

@@ -648,3 +648,66 @@ def test_link_predict_matches_bruteforce(spark):
             if (min(u, v), max(u, v)) not in E:
                 exp_capped.add((min(u, v), max(u, v)))
     assert {(r["u"], r["v"]) for r in capped} == exp_capped
+
+
+def test_kcore_peels_to_true_core(spark):
+    """Synchronous k-core peeling vs a python replication at every
+    round count: the triangle+tail graph peels the tail over rounds
+    and converges exactly to the triangle; survivors always
+    over-approximate the true core (never under); random graphs match
+    the replication round for round."""
+    import random
+
+    from cpg_spark.operators.graphrank import kcore
+
+    def py_kcore(E, k, rounds):
+        adj: dict = {}
+        for a, b in E:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        alive = set(adj)
+        deg: dict = {}
+        for _ in range(rounds):
+            deg = {n: sum(1 for x in adj[n] if x in alive) for n in alive}
+            alive = {n for n in alive if deg[n] >= k}
+        return alive, deg
+
+    chain = [("a", "b"), ("b", "c"), ("c", "a"),
+             ("c", "d"), ("d", "e"), ("e", "f")]
+    df = spark.createDataFrame(chain, "src string, dst string")
+    allnodes = {x for e in chain for x in e}
+    for rounds in (1, 2, 3, 5):
+        alive, deg = py_kcore(chain, 2, rounds)
+        got = {
+            r["node"]: (r["in_kcore"], r["core_deg"])
+            for r in kcore(df, k=2, n_rounds=rounds).collect()
+        }
+        exp = {
+            n: (n in alive, deg.get(n, 0) if n in alive else 0)
+            for n in allnodes
+        }
+        assert got == exp, rounds
+    # converged at 3 rounds: exactly the triangle
+    got5 = {r["node"] for r in kcore(df, k=2, n_rounds=5).collect()
+            if r["in_kcore"]}
+    assert got5 == {"a", "b", "c"}
+
+    rng = random.Random(0xAC)
+    nodes = [f"n{i}" for i in range(18)]
+    E = set()
+    while len(E) < 30:
+        a, b = rng.sample(nodes, 2)
+        E.add((min(a, b), max(a, b)))
+    E = sorted(E)
+    df2 = spark.createDataFrame(E, "src string, dst string")
+    for k, rounds in ((2, 4), (3, 4)):
+        alive, deg = py_kcore(E, k, rounds)
+        got = {
+            r["node"]: (r["in_kcore"], r["core_deg"])
+            for r in kcore(df2, k=k, n_rounds=rounds).collect()
+        }
+        exp = {
+            n: (n in alive, deg.get(n, 0) if n in alive else 0)
+            for n in {x for e in E for x in e}
+        }
+        assert got == exp, (k, rounds)
