@@ -127,6 +127,101 @@ def dedup_page_stream(
     )
 
 
+class SnapshotMergeSink:
+    """The exactly-once snapshot-commit protocol every foreachBatch
+    sink here shares (factored in r6 from ingest_graph_stream so the
+    telemetry stream below does not re-implement it): each commit
+    writes the merged frame to out_dir/v{batch_id} and atomically
+    renames a pointer recording {batch_id, path, checkpoint_dir}.
+
+    guard(batch_id) returns the committed pointer dict (or None for a
+    fresh dir), returns the string "skip" for a crash-replay of the
+    already-committed batch, and RAISES — never silently drops — when
+    batch_id is behind the committed one or the pointer was committed
+    under a different checkpoint (both mean the streaming checkpoint
+    was deleted/reset while the output dir survived; batch ids restart
+    at 0 and every new batch would otherwise be dropped).
+
+    commit(df, batch_id) writes, flips the pointer, and prunes
+    superseded v* dirs keeping the newest retain_snapshots (>=1; the
+    pointer target is always retained)."""
+
+    def __init__(
+        self, out_dir: str, checkpoint_dir: str, retain_snapshots: int = 2
+    ):
+        import os as _os
+
+        self.out_dir = out_dir
+        self.ck_abs = _os.path.abspath(checkpoint_dir)
+        self.retain = max(1, retain_snapshots)
+        self.pointer = _os.path.join(out_dir, "CURRENT")
+        _os.makedirs(out_dir, exist_ok=True)
+
+    def read_pointer(self):
+        import json as _json
+        import os as _os
+
+        if not _os.path.exists(self.pointer):
+            return None
+        with open(self.pointer) as f:
+            return _json.load(f)
+
+    def guard(self, batch_id: int):
+        cur = self.read_pointer()
+        if cur is None:
+            return None
+        committed_ck = cur.get("checkpoint_dir")
+        if committed_ck is not None and committed_ck != self.ck_abs:
+            raise RuntimeError(
+                f"snapshot dir {self.out_dir!r} was committed under "
+                f"checkpoint {committed_ck!r} but this stream runs under "
+                f"{self.ck_abs!r}: a reset/relocated checkpoint restarts "
+                "batch ids at 0 and would silently drop or double-merge "
+                "batches. Remove the output dir (or point at a fresh one) "
+                "to re-ingest."
+            )
+        if batch_id == cur["batch_id"]:
+            return "skip"  # crash-replay of the committed batch
+        if batch_id < cur["batch_id"]:
+            raise RuntimeError(
+                f"batch_id {batch_id} is behind committed "
+                f"{cur['batch_id']} in {self.pointer!r}: Structured "
+                "Streaming only replays the single most recent batch, so "
+                "the checkpoint was deleted/reset while the pointer "
+                "survived. Refusing to silently drop batches."
+            )
+        return cur
+
+    def commit(self, df: DataFrame, batch_id: int) -> None:
+        import json as _json
+        import os as _os
+        import re as _re
+        import shutil as _shutil
+
+        vdir = _os.path.join(self.out_dir, f"v{batch_id:06d}")
+        df.write.mode("overwrite").parquet(vdir)
+        tmp = self.pointer + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(
+                {
+                    "batch_id": batch_id,
+                    "path": vdir,
+                    "checkpoint_dir": self.ck_abs,
+                },
+                f,
+            )
+        _os.replace(tmp, self.pointer)  # atomic on POSIX
+        vdirs = sorted(
+            d
+            for d in _os.listdir(self.out_dir)
+            if _re.fullmatch(r"v\d{6}", d)
+        )
+        for stale in vdirs[: -self.retain]:
+            _shutil.rmtree(
+                _os.path.join(self.out_dir, stale), ignore_errors=True
+            )
+
+
 def ingest_graph_stream(
     spark: SparkSession,
     pages_dir: str,
@@ -172,43 +267,15 @@ def ingest_graph_stream(
     (file-sourced micro-batches are whole files), so co-occurrence
     evidence is batch-local and the merge's sum rule is exact.
     Returns the started StreamingQuery (AvailableNow trigger)."""
-    import json as _json
-    import os as _os
-
     from ..operators import canonicalize, extract, link as _link, materialize
 
     comps = canonicalize.canonical_map(alias_dict)
-    pointer = _os.path.join(graph_dir, "CURRENT")
-    ck_abs = _os.path.abspath(checkpoint_dir)
-
-    def _read_pointer():
-        if not _os.path.exists(pointer):
-            return None
-        with open(pointer) as f:
-            return _json.load(f)
+    sink = SnapshotMergeSink(graph_dir, checkpoint_dir, retain_snapshots)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        cur = _read_pointer()
-        if cur is not None:
-            committed_ck = cur.get("checkpoint_dir")
-            if committed_ck is not None and committed_ck != ck_abs:
-                raise RuntimeError(
-                    f"graph snapshot {graph_dir!r} was committed under "
-                    f"checkpoint {committed_ck!r} but this stream runs under "
-                    f"{ck_abs!r}: a reset/relocated checkpoint restarts batch "
-                    "ids at 0 and would silently drop or double-merge batches. "
-                    "Remove the graph dir (or point at a fresh one) to re-ingest."
-                )
-            if batch_id == cur["batch_id"]:
-                return  # crash-replay of the committed batch — skip, don't double-merge
-            if batch_id < cur["batch_id"]:
-                raise RuntimeError(
-                    f"batch_id {batch_id} is behind committed "
-                    f"{cur['batch_id']} in {pointer!r}: Structured Streaming "
-                    "only replays the single most recent batch, so the "
-                    "checkpoint was deleted/reset while the graph pointer "
-                    "survived. Refusing to silently drop batches."
-                )
+        cur = sink.guard(batch_id)
+        if cur == "skip":
+            return  # crash-replay of the committed batch — never double-merge
         sent = extract.sentences(batch_df)
         ment = extract.mentions(sent)
         links = _link.link_mentions(ment, alias_dict)
@@ -219,25 +286,8 @@ def ingest_graph_stream(
         if cur is not None:
             existing = batch_df.sparkSession.read.parquet(cur["path"])
             agg = materialize.merge_triples_agg(existing, agg)
-        vdir = _os.path.join(graph_dir, f"v{batch_id:06d}")
-        agg.write.mode("overwrite").parquet(vdir)
-        tmp = pointer + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump(
-                {"batch_id": batch_id, "path": vdir, "checkpoint_dir": ck_abs}, f
-            )
-        _os.replace(tmp, pointer)  # atomic on POSIX
-        # prune superseded snapshots, newest retain_snapshots kept
-        import re as _re
-        import shutil as _shutil
+        sink.commit(agg, batch_id)
 
-        vdirs = sorted(
-            d for d in _os.listdir(graph_dir) if _re.fullmatch(r"v\d{6}", d)
-        )
-        for stale in vdirs[: -max(1, retain_snapshots)]:
-            _shutil.rmtree(_os.path.join(graph_dir, stale), ignore_errors=True)
-
-    _os.makedirs(graph_dir, exist_ok=True)
     stream = read_page_stream(spark, pages_dir, max_files_per_trigger)
     return (
         stream.writeStream.foreachBatch(process)
@@ -255,3 +305,92 @@ def read_current_graph(spark: SparkSession, graph_dir: str) -> DataFrame:
 
     with open(_os.path.join(graph_dir, "CURRENT")) as f:
         return spark.read.parquet(_json.load(f)["path"])
+
+
+def telemetry_stream(
+    spark: SparkSession,
+    pages_dir: str,
+    stats_dir: str,
+    checkpoint_dir: str,
+    hll_p: int = 12,
+    query_name: str = "kg_telemetry",
+    max_files_per_trigger: int | None = None,
+    retain_snapshots: int = 2,
+):
+    """Streaming corpus telemetry: per micro-batch, the pages' distinct
+    (url, token) postings update a persistent HyperLogLog register
+    snapshot (operators/sketches.py) under the same exactly-once
+    snapshot-commit protocol as the graph ingest (SnapshotMergeSink).
+    Because HLL registers merge by per-register MAX — the
+    pytest-proven append-only property — the streamed snapshot is
+    bit-identical to the batch-at-once registers over the same pages
+    (golden-tested), and a crash-replayed batch merges idempotently
+    (max(a, a) = a, so even a re-merge would be harmless; the guard
+    skips it anyway). The register table is bounded at 2^p rows
+    regardless of how many pages ever stream through — telemetry state
+    that never grows. Read the current estimate with
+    read_current_telemetry()."""
+    from ..functions.hashing import char_poly_hash_col
+    from ..operators import sketches
+    from ..operators.textstats import doc_tokens
+
+    sink = SnapshotMergeSink(stats_dir, checkpoint_dir, retain_snapshots)
+
+    def _registers(batch_df: DataFrame) -> DataFrame:
+        toks = batch_df.select(
+            "url",
+            F.explode(
+                doc_tokens(extract_text_col(F.col("html")))
+            ).alias("tok"),
+        )
+        postings = toks.select(
+            F.lit("corpus").alias("scope"),
+            F.concat(
+                (char_poly_hash_col(F.col("url")) % F.lit(1 << 30)).cast(
+                    "string"
+                ),
+                F.lit("|"),
+                F.col("tok"),
+            ).alias("posting"),
+        )
+        return sketches.hll_registers(
+            postings, F.col("posting"), ["scope"], p=hll_p
+        )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        cur = sink.guard(batch_id)
+        if cur == "skip":
+            return
+        regs = _registers(batch_df)
+        if cur is not None:
+            existing = batch_df.sparkSession.read.parquet(cur["path"])
+            regs = (
+                existing.unionByName(regs)
+                .groupBy("scope", "reg")
+                .agg(F.max("rho").alias("rho"))
+            )
+        sink.commit(regs, batch_id)
+
+    stream = read_page_stream(spark, pages_dir, max_files_per_trigger)
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .queryName(query_name)
+        .start()
+    )
+
+
+def read_current_telemetry(
+    spark: SparkSession, stats_dir: str, hll_p: int = 12
+) -> DataFrame:
+    """(scope, n_zero_registers, est_distinct) from the telemetry
+    stream's last committed register snapshot."""
+    import json as _json
+    import os as _os
+
+    from ..operators import sketches
+
+    with open(_os.path.join(stats_dir, "CURRENT")) as f:
+        regs = spark.read.parquet(_json.load(f)["path"])
+    return sketches.hll_estimate(regs, ["scope"], p=hll_p)

@@ -247,3 +247,69 @@ def test_ingest_snapshot_retention(spark, tmp_path, pages_df, alias_df):
     assert vdirs == [os.path.basename(cur["path"])]
     # the retained snapshot is the readable current graph
     assert sp.read_current_graph(spark, gdir).count() > 0
+
+
+def test_telemetry_stream_matches_batch(spark, tmp_path, pages_df):
+    """Streaming HLL telemetry golden: pages arrive as two file
+    micro-batches whose register updates merge by per-register max —
+    the final snapshot is bit-identical to the batch-at-once registers
+    over the same pages, the estimate follows, and a second
+    AvailableNow run over the same checkpoint leaves the snapshot
+    untouched."""
+    from cpg_spark.functions.hashing import char_poly_hash_col
+    from cpg_spark.operators import sketches
+    from cpg_spark.operators.textstats import doc_tokens
+    from cpg_spark.streaming.pipeline import extract_text_col
+
+    d = str(tmp_path / "pages_tel")
+    pages_df.filter(F.xxhash64("url") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    pages_df.filter(F.xxhash64("url") % 2 != 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    sdir = str(tmp_path / "stats_tel")
+    q = sp.telemetry_stream(
+        spark, d, sdir, str(tmp_path / "ck_tel"), max_files_per_trigger=1
+    )
+    q.awaitTermination(180)
+
+    import json
+    import os
+
+    with open(os.path.join(sdir, "CURRENT")) as f:
+        cur = json.load(f)
+    assert cur["batch_id"] >= 1  # really ran as >1 micro-batch
+    streamed = spark.read.parquet(cur["path"])
+
+    postings = pages_df.select(
+        "url", F.explode(doc_tokens(extract_text_col(F.col("html")))).alias("tok")
+    ).select(
+        F.lit("corpus").alias("scope"),
+        F.concat(
+            (char_poly_hash_col(F.col("url")) % F.lit(1 << 30)).cast("string"),
+            F.lit("|"),
+            F.col("tok"),
+        ).alias("posting"),
+    )
+    batch = sketches.hll_registers(postings, F.col("posting"), ["scope"])
+
+    key = lambda r: (r["scope"], r["reg"], r["rho"])  # noqa: E731
+    assert sorted(map(key, streamed.collect())) == sorted(
+        map(key, batch.collect())
+    )
+    est = sp.read_current_telemetry(spark, sdir).collect()[0]
+    assert est["est_distinct"] > 0
+
+    # idempotent replay: nothing new to read -> snapshot untouched
+    before = sorted(map(key, streamed.collect()))
+    q2 = sp.telemetry_stream(
+        spark, d, sdir, str(tmp_path / "ck_tel"),
+        max_files_per_trigger=1, query_name="kg_telemetry2",
+    )
+    q2.awaitTermination(120)
+    with open(os.path.join(sdir, "CURRENT")) as f:
+        cur2 = json.load(f)
+    after = sorted(map(key, spark.read.parquet(cur2["path"]).collect()))
+    assert after == before
