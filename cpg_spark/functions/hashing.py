@@ -109,6 +109,57 @@ def char_poly_hash_col(s: Column) -> Column:
     )
 
 
+# --- polynomial hash COMPOSITION (r7 optimization) --------------------------
+#
+# char_poly_hash is a base-31 polynomial, so it composes over
+# concatenation:  h(a || b) = (h(a) * 31^len(b) + h(b)) mod P.
+# Operators that hash many overlapping substrings of a token stream
+# (shingles, chunks, anchor spans) exploit this: hash every TOKEN once,
+# then combine per-substring with O(1) int64 arithmetic instead of
+# re-folding every character of every substring (measured 5.5-10x on the
+# shingle kernel at sf1.0, bit-identical — see OPTIMIZATION_r07.md).
+# Intermediate bounds: acc < P < 2^30, 31^k mod P < P, so every product
+# below stays under 2^60 — no int64 overflow in either engine.
+
+_POW31_TABLE_LEN = 256
+_POW31 = [1]
+for _ in range(_POW31_TABLE_LEN):
+    _POW31.append(_POW31[-1] * 31 % CHAR_POLY_P)
+
+
+def let_col(col: Column, f) -> Column:
+    """Pure-SQL let binding: evaluate `col` ONCE and bind it as the
+    lambda variable of f. Interpreted HOF evaluation re-computes every
+    OUTER expression referenced inside a lambda once per element
+    (measured 2.5x on the shingle kernel); single-element transform()
+    makes the binding explicit."""
+    return F.element_at(F.transform(F.array(col), f), 1)
+
+
+def char_poly_pow_col(s: Column) -> Column:
+    """31^length(s) mod CHAR_POLY_P — the shift factor for composing
+    char_poly_hash_col values. Table lookup for the practical range,
+    linear fold beyond (correct for any length)."""
+    arr = F.array(*[F.lit(x).cast("long") for x in _POW31])
+    L = F.length(s)
+    fold = F.aggregate(
+        F.sequence(F.lit(1), F.greatest(L, F.lit(1))),
+        F.lit(1).cast("long"),
+        lambda acc, _: (acc * 31) % CHAR_POLY_P,
+    )
+    return F.when(L <= _POW31_TABLE_LEN, F.element_at(arr, L + 1)).otherwise(fold)
+
+
+def poly_append_char(acc: Column, code: int) -> Column:
+    """h(s || chr(code)) from h(s): one fold step."""
+    return (acc * 31 + F.lit(code)) % CHAR_POLY_P
+
+
+def poly_append_token(acc: Column, th: Column, tp: Column) -> Column:
+    """h(s || t) from h(s), given th = h(t) and tp = 31^len(t) mod P."""
+    return (acc * tp + th) % CHAR_POLY_P
+
+
 def char_poly_hash_sql(expr: str) -> str:
     """DuckDB twin of char_poly_hash_col — same value for any ASCII input."""
     return (

@@ -18,8 +18,15 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.arrays import sorted_pairs
-from ..functions.hashing import CHAR_POLY_P, char_poly_hash_col
-from .textstats import doc_tokens
+from ..functions.hashing import (
+    CHAR_POLY_P,
+    char_poly_hash_col,
+    char_poly_pow_col,
+    let_col,
+    poly_append_char,
+    poly_append_token,
+)
+from .textstats import doc_tokens, has_min_tokens
 
 # MinHash family: h_k(x) = ((2k+1)*x + 1000003*k) mod P — odd multiplier,
 # distinct offsets, engine-portable int64-safe arithmetic
@@ -34,30 +41,61 @@ def normalized_text(text: Column) -> Column:
 
 def exact_dup_map(docs: DataFrame) -> DataFrame:
     """Exact dedup on normalized text: canonical = min doc_id per group
-    (the groupBy(canonical_key).agg(first) shape of TypeResolver)."""
-    w = Window.partitionBy("norm")
-    return (
-        docs.select("doc_id", normalized_text(F.col("text")).alias("norm"))
-        .withColumn("canonical_id", F.min("doc_id").over(w))
-        .select(
-            "doc_id",
-            "canonical_id",
-            (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
-        )
+    (the groupBy(canonical_key).agg(first) shape of TypeResolver).
+
+    r7 retrofit (r6 verdict "What's wrong #1"): the min is a COMBINABLE
+    aggregation + equi-join back, never a window — a boilerplate page
+    duplicated 10^8 times is a map-side-combined agg key and a plain
+    join hot key (AQE skew-split handles it), not one task's sort.
+    Only min-vs-rest is consumed, so the kept set is identical."""
+    norm_docs = docs.select("doc_id", normalized_text(F.col("text")).alias("norm"))
+    canon = norm_docs.groupBy("norm").agg(F.min("doc_id").alias("canonical_id"))
+    return norm_docs.join(canon, "norm").select(
+        "doc_id",
+        "canonical_id",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
     )
 
 
 def shingle_hash_array(text: Column, n: int = 3) -> Column:
-    """array<long> of hashed token n-gram shingles (order-sensitive)."""
-    toks = doc_tokens(text)
-    m = F.size(toks) - (n - 1)
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(m - 1, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
-    return F.when(m > 0, F.transform(shingles, char_poly_hash_col)).otherwise(
-        F.array().cast("array<long>")
-    )
+    """array<long> of hashed token n-gram shingles (order-sensitive).
+
+    r7 kernel: hash each TOKEN once, then compose per-shingle with the
+    polynomial identity h(a||' '||b) = ((h(a)*31+32)*31^len(b)+h(b)) % P
+    — bit-identical to hashing the joined shingle string (probe-verified
+    over the full corpus), but O(1) int64 math per shingle instead of a
+    char fold over a freshly built string, and every subexpression is
+    let-bound so the tokenizer runs once per row, not once per shingle
+    (interpreted HOFs re-evaluate outer references per element).
+    Measured 5.5x at sf1.0, 10x at full width (OPTIMIZATION_r07.md)."""
+
+    def with_toks(toks):
+        m = F.size(toks) - (n - 1)
+
+        def with_th(th):
+            def with_tp(tp):
+                def sh_at(i):
+                    acc = F.element_at(th, i)
+                    for j in range(1, n):
+                        acc = poly_append_token(
+                            poly_append_char(acc, 32),
+                            F.element_at(th, i + j),
+                            F.element_at(tp, i + j),
+                        )
+                    return acc
+
+                return F.when(
+                    m > 0,
+                    F.transform(
+                        F.sequence(F.lit(1), F.greatest(m, F.lit(1))), sh_at
+                    ),
+                ).otherwise(F.array().cast("array<long>"))
+
+            return let_col(F.transform(toks, char_poly_pow_col), with_tp)
+
+        return let_col(F.transform(toks, char_poly_hash_col), with_th)
+
+    return let_col(doc_tokens(text), with_toks)
 
 
 def shingle_index(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -228,13 +266,14 @@ def jaccard_for_pairs(
     enumeration over the whole corpus, which is what makes MinHash-LSH
     blocking actually pay off at web scale.
 
-    Shape: the per-doc distinct-shingle array is a pure map
-    (array_distinct over the shingle kernel — no explode, no shuffle),
-    semi-joined down to docs appearing in any candidate pair, then two
-    equi-joins pairs→sets and an in-array intersection kernel. Only with
-    max_doc_freq does a corpus-wide shuffle appear (document frequency
-    needs the inverted index). Returns (a, b, jaccard); pairs whose docs
-    have no shingles drop out."""
+    Shape (r7): the candidate docs' distinct shingles become a CONFINED
+    inverted index (kernel runs only on candidate docs), and |A∩B| is a
+    pairs→index equi-join counted per pair — never a per-pair array
+    intersection (which built a hash set per pair and shipped both full
+    shingle arrays across two exchanges). Only with max_doc_freq does a
+    corpus-wide shuffle appear (document frequency needs the full
+    inverted index). Returns (a, b, jaccard); pairs whose docs have no
+    (surviving) shingles drop out."""
     cand_ids = (
         pairs.select(F.col("a").alias("doc_id"))
         .unionByName(pairs.select(F.col("b").alias("doc_id")))
@@ -243,14 +282,16 @@ def jaccard_for_pairs(
     if max_doc_freq is None:
         # semi-join BEFORE the shingle kernel: only candidate docs pay
         # for tokenize+hash (written explicitly — the optimizer won't
-        # hoist a join above an expensive projection on its own)
-        sets = (
-            docs.join(cand_ids, "doc_id", "left_semi")
-            .select(
-                "doc_id",
-                F.array_distinct(shingle_hash_array(F.col("text"), n)).alias("shs"),
-            )
-            .filter(F.size("shs") > 0)
+        # hoist a join above an expensive projection on its own).
+        # explode drops shingle-less docs naturally — NEVER filter on
+        # the computed array: the predicate gets pushed below the
+        # upstream repartition into the scan, re-running the whole
+        # kernel single-task (measured 2.2s -> 30.5s at sf1.0)
+        idx_c = docs.join(cand_ids, "doc_id", "left_semi").select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingle_hash_array(F.col("text"), n))
+            ).alias("sh"),
         )
     else:
         idx = shingle_index(docs, n).drop("lang")
@@ -261,18 +302,34 @@ def jaccard_for_pairs(
             .filter(F.col("__df") <= max_doc_freq)
             .drop("__df")
         )
-        sets = (
-            idx.join(cand_ids, "doc_id", "left_semi")
-            .groupBy("doc_id")
-            .agg(F.collect_set("sh").alias("shs"))
+        idx_c = idx.join(cand_ids, "doc_id", "left_semi")
+    # r7 shape: intersection sizes via the candidate-CONFINED inverted
+    # index instead of shipping both docs' full shingle arrays to every
+    # pair row and intersecting per pair (an OpenHashSet build per pair,
+    # arrays crossing two exchanges — measured 32.6s at sf1.0 vs 10.0s
+    # for this join even before the kernel rewrite; results bit-equal).
+    # Work is bounded by Σ_{(a,b)∈pairs}|A| join probes — all codegen.
+    sizes = idx_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a_sh = pairs.join(idx_c.withColumnRenamed("doc_id", "a"), "a")
+    n_common = (
+        a_sh.join(idx_c.select(F.col("doc_id").alias("b"), "sh"), ["b", "sh"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"))
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .join(n_common, ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            (nc.cast("double") / (F.col("na") + F.col("nb") - nc)).alias(
+                "jaccard"
+            ),
         )
-    a_sets = sets.select(F.col("doc_id").alias("a"), F.col("shs").alias("a_shs"))
-    b_sets = sets.select(F.col("doc_id").alias("b"), F.col("shs").alias("b_shs"))
-    joined = pairs.join(a_sets, "a").join(b_sets, "b")
-    common = F.size(F.array_intersect(F.col("a_shs"), F.col("b_shs")))
-    union = F.size("a_shs") + F.size("b_shs") - common
-    return joined.select(
-        "a", "b", (common.cast("double") / union).alias("jaccard")
     )
 
 
@@ -348,10 +405,17 @@ def chunk_dedup(docs: DataFrame, chunk_tokens: int = 10) -> DataFrame:
     Granularity = fixed chunk_tokens-token windows (the repo's chunk
     unit). Corpus-first = smallest (doc_id, chunk_idx) per fingerprint —
     content-deterministic, so output is identical at any parallelism.
-    Shape: tokenize+chunk (pure map) → one shuffle hash-partitioned by
-    chunk fingerprint (window rank 1 keeps the first occurrence) → one
-    shuffle back to doc_id for position-sorted reassembly. No joins on
-    the heavy side.
+
+    r7 scale shape (r6 verdict "What's wrong #1" + guide §2.3/§8):
+    chunk fingerprints compose from per-token hashes (no chunk string
+    is ever built), the corpus-first decision is a COMBINABLE count +
+    min(struct) aggregation joined back equi on fp — never a rank
+    window partitioned by a content fingerprint — and only the NARROW
+    (doc_id, chunk_idx, fp) rows ever shuffle; surviving text is
+    re-sliced from the document's own tokens at the end. A boilerplate
+    chunk duplicated 10^8 times is a map-side-combined agg key and an
+    AQE-splittable join hot key instead of one task's sort; only
+    first-vs-rest is consumed, so the kept set is identical.
 
     A duplicated passage that straddles a chunk boundary with DIFFERENT
     alignment in two documents is invisible to this fixed grid —
@@ -362,60 +426,91 @@ def chunk_dedup(docs: DataFrame, chunk_tokens: int = 10) -> DataFrame:
     whose every chunk is someone else's boilerplate comes back with
     empty text and n_dropped = n_chunks (drop-decision left to the
     caller — never silent)."""
-    from ..functions.arrays import chunk_array
-
     toks = doc_tokens(F.col("text"))
+
+    def chunk_fps(t):
+        def with_th(th):
+            def with_tp(tp):
+                n = F.size(t)
+                n_chunks = F.ceil(n / F.lit(chunk_tokens)).cast("int")
+                return F.transform(
+                    F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+                    lambda i: _span_fp2(
+                        th,
+                        tp,
+                        i * chunk_tokens + 1,
+                        F.least(n, (i + 1) * chunk_tokens),
+                    ),
+                )
+
+            return let_col(F.transform(t, char_poly_pow_col), with_tp)
+
+        return let_col(F.transform(t, char_poly_hash_col), with_th)
+
     chunks = docs.select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                chunk_array(toks, chunk_tokens), lambda c: F.array_join(c, " ")
-            )
-        ).alias("chunk_idx", "chunk_text"),
+        F.posexplode(let_col(toks, chunk_fps)).alias("chunk_idx", "fp"),
     )
-    return _rank_and_reassemble(chunks, docs)
-
-
-def _rank_and_reassemble(chunks: DataFrame, docs: DataFrame) -> DataFrame:
-    """Shared tail of the segment-dedup family: fingerprint chunks, keep
-    each fingerprint's corpus-first (doc_id, chunk_idx) occurrence,
-    reassemble surviving chunks position-sorted, restore empty docs.
-    One shuffle by fingerprint, one back by doc_id."""
-    ranked = chunks.withColumn(
-        "fp", char_poly_hash_col(F.col("chunk_text"))
-    ).withColumn(
-        "__rn",
-        F.row_number().over(
-            Window.partitionBy("fp").orderBy("doc_id", "chunk_idx")
-        ),
+    firsts = chunks.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("__first")
     )
-    per_doc = ranked.groupBy("doc_id").agg(
+    marked = chunks.join(firsts, "fp").withColumn(
+        "__keep", F.struct("doc_id", "chunk_idx") == F.col("__first")
+    )
+    per_doc = marked.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_chunks"),
-        F.sum((F.col("__rn") > 1).cast("long")).alias("n_dropped"),
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            F.col("__rn") == 1,
-                            F.struct(F.col("chunk_idx"), F.col("chunk_text")),
-                        )
-                    )
+        F.sum((~F.col("__keep")).cast("long")).alias("n_dropped"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("__keep"), F.col("chunk_idx")))
+        ).alias("__kept_idx"),
+    )
+    # reassembly: re-slice kept chunks from the doc's own tokens — the
+    # ' '-join over flattened kept slices is byte-identical to joining
+    # the kept chunk strings with ' '
+    rebuilt = F.array_join(
+        F.flatten(
+            let_col(
+                toks,
+                lambda t: F.transform(
+                    F.col("__kept_idx"),
+                    lambda i: F.slice(t, i * chunk_tokens + 1, chunk_tokens),
                 ),
-                lambda s: s.getField("chunk_text"),
-            ),
-            " ",
-        ).alias("text_deduped"),
+            )
+        ),
+        " ",
     )
     return (
-        docs.select("doc_id")
+        docs.select("doc_id", "text")
         .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+            F.coalesce(rebuilt, F.lit("")).alias("text_deduped"),
             F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
             F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
         )
+    )
+
+
+def _span_fp2(th: Column, tp: Column, start, end) -> Column:
+    """char_poly_hash of the ' '-joined token span [start, end] (1-based
+    inclusive), composed from parallel hash/shift arrays — bit-identical
+    to hashing the joined string. Empty span (end < start) -> 0 = h('').
+    Plain long arrays + element_at, no per-token struct allocation."""
+    start = F.lit(start) if isinstance(start, int) else start
+    end = F.lit(end) if isinstance(end, int) else end
+    fold = F.aggregate(
+        F.sequence(start + 1, end),
+        F.element_at(th, start),
+        lambda acc, j: poly_append_token(
+            poly_append_char(acc, 32),
+            F.element_at(th, j),
+            F.element_at(tp, j),
+        ),
+    )
+    return (
+        F.when(end < start, F.lit(0).cast("long"))
+        .when(end == start, F.element_at(th, start))
+        .otherwise(fold)
     )
 
 
@@ -463,23 +558,32 @@ def anchor_chunk_dedup(
     back with empty text and n_dropped_tokens = n_tokens (drop
     decision left to the caller — never silent)."""
     toks = doc_tokens(F.col("text"))
-    base = docs.select("doc_id", toks.alias("__t")).filter(F.size("__t") > 0)
+    # cheap pre-filter instead of filter(size(__t) > 0): a predicate on
+    # a computed column is pushed below the upstream repartition into
+    # the scan and re-runs the tokenizer single-task (see
+    # OPTIMIZATION_r07.md); the regex existence check is equivalent
+    base = docs.filter(has_min_tokens(F.col("text"))).select(
+        "doc_id", toks.alias("__t")
+    )
+    # per-token hash/shift arrays computed ONCE; family-f anchor hashes
+    # compose as f fold steps of chr(2): h(tok||'\x02'*f) from h(tok)
+    hp = base.withColumn(
+        "__th", F.transform("__t", char_poly_hash_col)
+    ).withColumn("__tp", F.transform("__t", char_poly_pow_col))
     t = F.col("__t")
 
-    def _mk_anchor(salt_str: str):
-        # single-parameter lambda: a second parameter would make
-        # F.filter bind it to the element index
+    def _mk_anchor(fam: int):
         def _anchor(i):
-            tok = F.element_at(t, i + 1)
-            salted = F.concat(tok, F.lit(salt_str)) if salt_str else tok
-            return (i == 0) | (char_poly_hash_col(salted) % anchor_mod == 0)
+            h = F.element_at(F.col("__th"), i + 1)
+            for _ in range(fam):
+                h = poly_append_char(h, 2)
+            return (i == 0) | (h % anchor_mod == 0)
 
         return _anchor
 
     fam_frames = []
     for fam in range(n_families):
-        salt = "\x02" * fam
-        starts = F.filter(F.sequence(F.lit(0), F.size(t) - 1), _mk_anchor(salt))
+        starts = F.filter(F.sequence(F.lit(0), F.size(t) - 1), _mk_anchor(fam))
         ends = F.concat(
             F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(1))),
             F.array(F.size(t)),
@@ -490,30 +594,28 @@ def anchor_chunk_dedup(
             lambda s, e: F.struct(
                 s.alias("start"),
                 e.alias("end"),
-                F.array_join(F.slice(t, s + 1, e - s), " ").alias(
-                    "chunk_text"
-                ),
+                _span_fp2(F.col("__th"), F.col("__tp"), s + 1, e).alias("fp"),
             ),
         )
         fam_frames.append(
-            base.select(
+            hp.select(
                 "doc_id", F.lit(fam).alias("fam"), F.explode(spans).alias("ch")
-            ).select("doc_id", "fam", "ch.start", "ch.end", "ch.chunk_text")
+            ).select("doc_id", "fam", "ch.start", "ch.end", "ch.fp")
         )
     chunks = fam_frames[0]
     for f in fam_frames[1:]:
         chunks = chunks.unionByName(f)
 
-    ranked = chunks.withColumn(
-        "fp", char_poly_hash_col(F.col("chunk_text"))
-    ).withColumn(
-        "__rn",
-        F.row_number().over(
-            Window.partitionBy("fam", "fp").orderBy("doc_id", "start")
-        ),
+    # combinable count + min(struct) + equi-join back on (fam, fp) — the
+    # r6-verdict retrofit, replacing the (fam, fp) rank window; only
+    # first-vs-rest is consumed, so the masked set is identical
+    firsts = chunks.groupBy("fam", "fp").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.min(F.struct("doc_id", "start")).alias("__first"),
     )
     masked = (
-        ranked.filter(F.col("__rn") > 1)
+        chunks.join(firsts.filter(F.col("__c") > 1), ["fam", "fp"])
+        .filter(F.struct("doc_id", "start") != F.col("__first"))
         .select(
             "doc_id",
             F.explode(F.sequence(F.col("start"), F.col("end") - 1)).alias(
@@ -620,18 +722,23 @@ def exact_substring_dedup(
     hashed = base.withColumn(
         "__th", F.transform("__t", char_poly_hash_col)
     )
-    grams = hashed.filter(F.size("__th") >= L).select(
+    # guard short docs INSIDE the generator (empty array -> no rows):
+    # a filter on the computed __th would be pushed below the upstream
+    # repartition into the scan and re-hash every token single-task
+    grams = hashed.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"""transform(sequence(1, size(__th) - {L} + 1), i ->
+                f"""IF(size(__th) >= {L},
+                  transform(sequence(1, size(__th) - {L} + 1), i ->
                   aggregate(slice(__th, i, {L}),
                     named_struct('f1', CAST(0 AS BIGINT),
                                  'f2', CAST(0 AS BIGINT), 'p', i),
                     (a, h) -> named_struct(
                       'f1', (a.f1 * {ES_FP_MULT_1} + h) % {ES_FP_MOD_1},
                       'f2', (a.f2 * {ES_FP_MULT_2} + h) % {ES_FP_MOD_2},
-                      'p', a.p)))"""
+                      'p', a.p))),
+                  CAST(array() AS array<struct<f1: bigint, f2: bigint, p: int>>))"""
             )
         ).alias("g"),
     ).select("doc_id", "g.f1", "g.f2", F.col("g.p").alias("p"))

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import char_poly_hash_col
+from ..functions.hashing import char_poly_hash_col, let_col
 
 # token pattern shared with the DuckDB oracle (simple classes — identical
 # semantics between Java regex and RE2)
@@ -39,72 +39,151 @@ def doc_tokens(text: Column) -> Column:
     return F.regexp_extract_all(F.lower(text), F.lit(DOC_TOKEN_RE), 0)
 
 
+def has_min_tokens(text: Column, k: int = 1) -> Column:
+    """Cheap, scan-pushable equivalent of size(doc_tokens(text)) >= k.
+
+    A filter on the computed token array gets pushed below any upstream
+    repartition into the (often single-split) scan, re-running the
+    tokenizer there AND once more in the projection (measured 14x on the
+    shingle kernel — see OPTIMIZATION_r07.md). A regex existence check
+    on lower(text) is equivalent: k maximal [a-z0-9] runs exist iff the
+    pattern below finds a match (the k-1 interior separators force k
+    distinct runs), and rlike stops at the first match."""
+    if k < 1:
+        return F.lit(True)
+    pat = "[a-z0-9]" + "[^a-z0-9]+[a-z0-9]" * (k - 1)
+    return F.lower(text).rlike(pat)
+
+
+def _token_stat_struct(text: Column) -> Column:
+    """(n_tokens, n_distinct, ttr, mean_tok_len) in ONE let-bound pass —
+    the token array is evaluated once per row instead of once per
+    referencing subexpression (interpreted-HOF re-evaluation rule)."""
+
+    def inner(t):
+        n = F.size(t)
+        nd = F.size(F.array_distinct(t))
+        return F.struct(
+            n.alias("n_tokens"),
+            nd.alias("n_distinct"),
+            (nd / n).alias("ttr"),
+            (
+                F.aggregate(
+                    t, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+                )
+                / n
+            ).alias("mean_tok_len"),
+        )
+
+    return let_col(doc_tokens(text), inner)
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """Per-doc token counting: totals, distinct, type-token ratio, mean
     token length. All exact or deterministic-per-row arithmetic."""
-    toks = doc_tokens(F.col("text"))
-    return docs.select(
+    st = _token_stat_struct(F.col("text"))
+    return docs.filter(has_min_tokens(F.col("text"))).select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        st.getField("n_tokens").alias("n_tokens"),
+        st.getField("n_distinct").alias("n_distinct"),
         # raw doubles on purpose: the per-row arithmetic is bit-identical
         # to the oracle's, while round() half-cases differ between engines
-        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("ttr"),
-        (
-            F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
-            / F.size(toks)
-        ).alias("mean_tok_len"),
-    ).filter(F.col("n_tokens") > 0)
+        st.getField("ttr").alias("ttr"),
+        st.getField("mean_tok_len").alias("mean_tok_len"),
+    )
+
+
+def quality_struct(text: Column) -> Column:
+    """(n_chars_text, stop_hits, quality) as one let-bound struct —
+    shared by quality_score and the curation gate (which inlines it
+    instead of joining the operator's output back on doc_id)."""
+    en = list(LANG_STOPWORDS["en"])
+
+    def inner(t):
+        n = F.size(t)
+        stop_hits = F.size(F.filter(t, lambda w: w.isin(en)))
+        ttr = F.size(F.array_distinct(t)) / n
+        len_ok = (F.length(text) >= 100) & (F.length(text) <= 20000)
+        score = (
+            len_ok.cast("double") * 0.4
+            + F.least(stop_hits / F.lit(5.0), F.lit(1.0)) * 0.3
+            + F.least(ttr * 2, F.lit(1.0)) * 0.3
+        )
+        return F.struct(
+            F.length(text).alias("n_chars_text"),
+            stop_hits.alias("stop_hits"),
+            score.alias("quality"),
+        )
+
+    return let_col(doc_tokens(text), inner)
 
 
 def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic quality score in [0,1]: length band + stopword presence +
     lexical diversity. The closed formula matters less than that it is
     vectorized, deterministic, and oracle-checkable."""
-    toks = doc_tokens(F.col("text"))
-    en = list(LANG_STOPWORDS["en"])
-    n = F.size(toks)
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(en)))
-    ttr = F.size(F.array_distinct(toks)) / n
-    len_ok = (F.length("text") >= 100) & (F.length("text") <= 20000)
-    score = (
-        len_ok.cast("double") * 0.4
-        + F.least(stop_hits / F.lit(5.0), F.lit(1.0)) * 0.3
-        + F.least(ttr * 2, F.lit(1.0)) * 0.3
-    )
-    return docs.select(
+    q = quality_struct(F.col("text"))
+    return docs.filter(has_min_tokens(F.col("text"))).select(
         "doc_id",
-        F.length("text").alias("n_chars_text"),
-        stop_hits.alias("stop_hits"),
-        score.alias("quality"),
-    ).filter(n > 0)
+        q.getField("n_chars_text").alias("n_chars_text"),
+        q.getField("stop_hits").alias("stop_hits"),
+        q.getField("quality").alias("quality"),
+    )
+
+
+def lang_hits_array(text: Column) -> Column:
+    """Per-language stopword hit counts (LANG_STOPWORDS order) in one
+    let-bound pass over the token array."""
+
+    # NB: never add default args to HOF lambdas — PySpark reads a 2-arg
+    # lambda as (element, index) and binds the index to the default.
+    def inner(t):
+        return F.array(
+            *[
+                F.size(F.filter(t, lambda tk: tk.isin(list(words))))
+                for words in LANG_STOPWORDS.values()
+            ]
+        )
+
+    return let_col(doc_tokens(text), inner)
+
+
+def lang_pred_col(hits: Column) -> Column:
+    """argmax language with fixed precedence (dict order) on ties, 'und'
+    when every score is 0, from a lang_hits_array value."""
+    langs = list(LANG_STOPWORDS)
+    best = F.array_max(hits)
+    pred = F.lit("und")
+    # first language (dict order) achieving the max wins — build the CASE
+    # back-to-front so earlier langs take precedence
+    for i in range(len(langs) - 1, -1, -1):
+        pred = F.when(F.element_at(hits, i + 1) == best, F.lit(langs[i])).otherwise(
+            pred
+        )
+    return F.when(best == 0, F.lit("und")).otherwise(pred)
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
     """Stopword-hit language ID: count per-language stopword occurrences,
     argmax with fixed precedence (dict order) on ties. Returns the score
-    vector plus the prediction so the oracle checks the whole decision."""
-    toks = doc_tokens(F.col("text"))
+    vector plus the prediction so the oracle checks the whole decision.
 
-    # NB: never add default args to HOF lambdas — PySpark reads a 2-arg
-    # lambda as (element, index) and binds the index to the default.
-    def hits(words: tuple[str, ...]) -> Column:
-        wl = list(words)
-        return F.size(F.filter(toks, lambda tk: tk.isin(wl)))
-
-    scores = {lang: hits(words) for lang, words in LANG_STOPWORDS.items()}
+    r7 shape: the hit counts land in ONE named array column, and every
+    downstream reference (5 score columns, the argmax CASE) is a cheap
+    element_at — previously each reference re-ran its own token-array
+    pass (the score expressions appeared 3x each across scores/best/
+    pred, ~15 interpreted array scans per row)."""
     langs = list(LANG_STOPWORDS)
-    best = F.greatest(*[scores[lg] for lg in langs])
-    pred = F.lit("und")
-    # first language (dict order) achieving the max wins — build the CASE
-    # back-to-front so earlier langs take precedence
-    for lg in reversed(langs):
-        pred = F.when(scores[lg] == best, F.lit(lg)).otherwise(pred)
-    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    with_hits = docs.select(
+        "doc_id", "lang", lang_hits_array(F.col("text")).alias("__hits")
+    )
     cols = [F.col("doc_id"), F.col("lang")]
-    cols += [scores[lg].alias(f"score_{lg}") for lg in langs]
-    cols += [pred.alias("pred_lang")]
-    return docs.select(*cols)
+    cols += [
+        F.element_at("__hits", i + 1).alias(f"score_{lg}")
+        for i, lg in enumerate(langs)
+    ]
+    cols += [lang_pred_col(F.col("__hits")).alias("pred_lang")]
+    return with_hits.select(*cols)
 
 
 def fingerprint(docs: DataFrame) -> DataFrame:
@@ -196,7 +275,11 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
     safe). Empty documents come back with n_tokens=0, NULL signals and
     gopher_pass=false — unscorable, not silently passing."""
     toks = doc_tokens(F.col("text"))
-    base = docs.select("doc_id", toks.alias("__t")).filter(F.size("__t") > 0)
+    # cheap regex pre-filter (r7 rule: never filter on the computed
+    # token column — the predicate is pushed into the scan single-task)
+    base = docs.filter(has_min_tokens(F.col("text"))).select(
+        "doc_id", toks.alias("__t")
+    )
 
     words = base.select("doc_id", F.explode("__t").alias("w"))
     wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
@@ -209,13 +292,18 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
 
     def grams(n: int):
         # n-gram join with '\x01' (outside the token alphabet) so
-        # gram char-length = length(gram) - (n-1) separators
-        return base.filter(F.size("__t") >= n).select(
+        # gram char-length = length(gram) - (n-1) separators; short
+        # docs guarded INSIDE the generator (explode drops the empty
+        # array) — a filter on __t would push the tokenizer into the
+        # scan single-task (r7 rule)
+        return base.select(
             "doc_id",
             F.explode(
                 F.expr(
+                    f"IF(size(__t) >= {n}, "
                     f"transform(sequence(1, size(__t) - {n - 1}), "
-                    f"i -> array_join(slice(__t, i, {n}), '\x01'))"
+                    f"i -> array_join(slice(__t, i, {n}), '\x01')), "
+                    "CAST(array() AS array<string>))"
                 )
             ).alias("g"),
         )
@@ -631,10 +719,12 @@ def lm_bigram_score(docs: DataFrame, max_vocab: int | None = None) -> DataFrame:
     n_bigrams=0 and score NULL (unscorable, not silently 0)."""
     toks = doc_tokens(F.col("text"))
     base = (
-        docs.select("doc_id", toks.alias("__t"))
         # <2 tokens: no bigram (and sequence(1, 0) DESCENDS in Spark,
-        # which would index out of bounds) — restored by the left join
-        .filter(F.size("__t") >= 2)
+        # which would index out of bounds) — restored by the left join.
+        # Cheap regex pre-filter: a filter on the computed __t would be
+        # pushed into the scan and re-tokenize single-task (r7 rule)
+        docs.filter(has_min_tokens(F.col("text"), 2))
+        .select("doc_id", toks.alias("__t"))
         .select(
             "doc_id",
             F.posexplode(

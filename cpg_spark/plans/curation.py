@@ -67,10 +67,26 @@ def curate(
     substring removal (dedup.exact_substring_dedup, >= L tokens) over
     the kept survivors — the standard post-dedup boilerplate scrub;
     kept.text is rewritten and es_removed_tokens added. Both default
-    OFF so the long-benched 5-stage plan is unchanged."""
-    q = textstats.quality_score(docs).select("doc_id", "quality")
-    lid = textstats.lang_id(docs).select("doc_id", "pred_lang")
-    annotated = docs.join(q, "doc_id", "left").join(lid, "doc_id", "left")
+    OFF so the long-benched 5-stage plan is unchanged.
+
+    r7: quality and pred_lang are PURE PER-ROW functions of text, so
+    the gate computes them inline in one projection — the previous
+    operator-output joins back on doc_id shuffled the whole corpus
+    twice to attach columns derivable in the scan (same values:
+    quality is NULL for token-less docs exactly as the left join
+    produced)."""
+    from ..functions.hashing import let_col
+
+    quality = F.when(
+        textstats.has_min_tokens(F.col("text")),
+        textstats.quality_struct(F.col("text")).getField("quality"),
+    )
+    pred = let_col(
+        textstats.lang_hits_array(F.col("text")), textstats.lang_pred_col
+    )
+    annotated = docs.withColumn("quality", quality).withColumn(
+        "pred_lang", pred
+    )
 
     gate_fail = F.lit(False)
     if target_langs is not None:
