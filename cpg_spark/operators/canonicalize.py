@@ -300,15 +300,24 @@ def bfs_reach_grouped(
     Returns (group_col, node, hops) with minimal hops — identical to
     bfs_reach run per group (golden-tested equivalence).
 
-    Edges and seeds are unioned into one tagged frame and walked by a
-    single groupBy().applyInPandas — NOT a cogroup: both inputs
-    routinely derive from the same upstream frame (one chunk table
-    feeding both sides), and the cogroup analyzer rejects group keys
-    whose attribute ids collide across sides (ambiguous-self-join
-    check), while a union of the two is always well-formed. Same single
-    shuffle either way."""
-    import pandas as pd
+    Edges and seeds are unioned into one tagged frame — NOT a cogroup:
+    both inputs routinely derive from the same upstream frame (one
+    chunk table feeding both sides), and the cogroup analyzer rejects
+    group keys whose attribute ids collide across sides
+    (ambiguous-self-join check), while a union of the two is always
+    well-formed.
 
+    r7 shape: PARTITION-STREAMING mapInPandas instead of
+    groupBy().applyInPandas. The per-GROUP grouped-map path pays one
+    Python invocation + one pandas DataFrame construction per group —
+    at millions of dictionary-sized groups that fixed cost dwarfs the
+    walks themselves (guide §2.3: grouped-map ships and frames every
+    row; measured 6.6s -> ~2s on the 50k-group corpus EOG). Here the
+    tagged frame is hash-repartitioned by the group key and sorted
+    within partitions so groups are contiguous; ONE Python call per
+    Arrow batch then walks every complete group with numpy slicing,
+    carrying the open tail group across batch boundaries. Same single
+    shuffle, identical output rows."""
     if honor_unreachable and "unreachable" in edges.columns:
         edges = edges.filter(~F.coalesce(F.col("unreachable"), F.lit(False)))
     e = edges.select(
@@ -324,45 +333,78 @@ def bfs_reach_grouped(
         F.lit(True).alias("__is_seed"),
     )
     both = e.unionByName(s)
-    # explicit hash repartition by the group key: the groupBy reuses
-    # this distribution (no second exchange), and — decisive on small
-    # inputs — AQE is NOT allowed to coalesce a user repartition, while
-    # it WILL collapse the groupBy's own tiny shuffle to one partition,
-    # serializing every per-group pandas call through a single Python
-    # worker (measured 8.4 s -> 0.9 s for 5k toy groups). At real scale
-    # the shuffle is wide either way; this pins the same width.
+    # explicit hash repartition by the group key (AQE may not coalesce a
+    # user repartition, so the Python stage keeps the session's width),
+    # then a local sort makes each group contiguous for the stream walk
     spark = both.sparkSession
     width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    both = both.repartition(width, group_col)
+    both = both.repartition(width, group_col).sortWithinPartitions(group_col)
     ftypes = {f.name: f.dataType.simpleString() for f in e.schema.fields}
     out_schema = f"{group_col} {ftypes[group_col]}, node {ftypes['__a']}, hops int"
 
-    def solve(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        is_seed = pdf["__is_seed"].to_numpy()
-        adj: dict = {}
-        for a, b, sd in zip(pdf["__a"], pdf["__b"], is_seed):
-            if not sd:
-                adj.setdefault(a, []).append(b)
-        seen: dict = {}
-        frontier = sorted(set(pdf["__a"][is_seed]))
-        hops = 0
-        while frontier and hops <= max_hops:
-            nxt = set()
-            for n in frontier:
-                if n not in seen:
-                    seen[n] = hops
-                    nxt.update(t for t in adj.get(n, ()) if t not in seen)
-            frontier = sorted(nxt)
-            hops += 1
-        return pd.DataFrame(
-            {
-                group_col: [key[0]] * len(seen),
-                "node": list(seen),
-                "hops": list(seen.values()),
-            }
-        )
+    def run(batches):
+        import numpy as np
+        import pandas as pd
 
-    return both.groupBy(group_col).applyInPandas(solve, out_schema)
+        def walk_group(a, b, sd, key, out):
+            adj: dict = {}
+            for x, y, is_sd in zip(a, b, sd):
+                if not is_sd:
+                    adj.setdefault(x, []).append(y)
+            seen: dict = {}
+            frontier = sorted({x for x, is_sd in zip(a, sd) if is_sd})
+            hops = 0
+            while frontier and hops <= max_hops:
+                nxt = set()
+                for n in frontier:
+                    if n not in seen:
+                        seen[n] = hops
+                        nxt.update(t for t in adj.get(n, ()) if t not in seen)
+                frontier = sorted(nxt)
+                hops += 1
+            out[0].extend([key] * len(seen))
+            out[1].extend(seen.keys())
+            out[2].extend(seen.values())
+
+        def process(pdf, out):
+            keys = pdf[group_col].to_numpy()
+            a = pdf["__a"].to_numpy()
+            b = pdf["__b"].to_numpy()
+            sd = pdf["__is_seed"].to_numpy()
+            cuts = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+            starts = np.concatenate(([0], cuts))
+            ends = np.concatenate((cuts, [len(keys)]))
+            for st, en in zip(starts, ends):
+                walk_group(a[st:en], b[st:en], sd[st:en], keys[st], out)
+
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            keys = pdf[group_col].to_numpy()
+            # hold back the trailing (possibly batch-split) group
+            cut = int(np.searchsorted(keys, keys[-1], side="left"))
+            carry = pdf.iloc[cut:]
+            head = pdf.iloc[:cut]
+            if len(head):
+                out = ([], [], [])
+                process(head, out)
+                if out[0]:
+                    yield pd.DataFrame(
+                        {group_col: out[0], "node": out[1], "hops": out[2]}
+                    )
+        if carry is not None and len(carry):
+            out = ([], [], [])
+            process(carry, out)
+            if out[0]:
+                yield pd.DataFrame(
+                    {group_col: out[0], "node": out[1], "hops": out[2]}
+                )
+
+    return both.mapInPandas(run, out_schema)
 
 
 def _tarjan_driver(e: DataFrame) -> DataFrame:

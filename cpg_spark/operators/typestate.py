@@ -152,19 +152,25 @@ def dfa_evaluate_branched(
 
     Spark shape: per-object EOGs are SMALL PRIVATE DAGs (the
     bfs_reach_grouped argument — the reference walks them sequentially
-    per object for the same reason), so the enumeration runs inside one
-    grouped-map task per key: one shuffle total, millions of keys in
-    parallel, zero driver iterations. Nodes and edges are unioned into
-    one tagged frame (not cogrouped — shared-lineage inputs trip the
+    per object for the same reason), so the enumeration runs inside the
+    Python workers after one shuffle, millions of keys in parallel,
+    zero driver iterations. Nodes and edges are unioned into one tagged
+    frame (not cogrouped — shared-lineage inputs trip the
     ambiguous-self-join analyzer). Paths/depth are capped with a
     per-key `truncated` flag — bounded, never silent (capped-witness
     pattern).
 
+    r7 shape: partition-streaming mapInPandas (one Python call + one
+    output frame per ARROW BATCH) instead of groupBy().applyInPandas
+    (one per GROUP) — the per-group invocation and pandas-construction
+    overhead dominated at ~50k dictionary-sized groups (guide §2.3;
+    same rewrite as bfs_reach_grouped, identical output rows). Groups
+    are made contiguous by a hash repartition + local sort on the key;
+    the open tail group carries across batch boundaries.
+
     Returns (key_col, path string 'n0>n1>…', n_nodes int, final_state,
     ok boolean, violation_idx int, truncated boolean); violation_idx =
     -1 for a clean path."""
-    import pandas as pd
-
     trans = {
         (r["src_state"], r["symbol"]): r["dst_state"]
         for r in transitions.select("src_state", "symbol", "dst_state").collect()
@@ -186,31 +192,27 @@ def dfa_evaluate_branched(
         F.lit(True).alias("__is_edge"),
     )
     both = n.unionByName(e)
-    # same rationale as bfs_reach_grouped: pre-partition by key so the
-    # grouped-map stage keeps the session's width — AQE would coalesce
-    # the tiny groupBy shuffle to one partition and serialize every
-    # per-key pandas call through a single Python worker
     spark = both.sparkSession
     width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    both = both.repartition(width, key_col)
+    both = both.repartition(width, key_col).sortWithinPartitions(key_col)
     ktype = n.schema[key_col].dataType.simpleString()
     out_schema = (
         f"{key_col} {ktype}, path string, n_nodes int, final_state string, "
         "ok boolean, violation_idx int, truncated boolean"
     )
     accept = set(accept_states)
+    COLS = ("path", "n_nodes", "final_state", "ok", "violation_idx", "truncated")
 
-    def solve(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        is_edge = pdf["__is_edge"].to_numpy()
+    def solve_group(key, a, b, sym, is_edge, out):
         syms: dict = {}
         adj: dict = {}
         has_in: set = set()
-        for a, b, sym, ed in zip(pdf["__a"], pdf["__b"], pdf["__sym"], is_edge):
+        for x, y, sm, ed in zip(a, b, sym, is_edge):
             if ed:
-                adj.setdefault(a, []).append(b)
-                has_in.add(b)
+                adj.setdefault(x, []).append(y)
+                has_in.add(y)
             else:
-                syms[a] = sym
+                syms[x] = sm
         entries = sorted(k for k in syms if k not in has_in)
         rows = []
         truncated = False
@@ -256,27 +258,68 @@ def dfa_evaluate_branched(
         if not rows and syms:
             # zero verdicts for a non-empty group (pure cycle, or all
             # paths depth-capped): one diagnostic row, never silence
-            return pd.DataFrame(
-                {
-                    key_col: [key[0]],
-                    "path": [None],
-                    "n_nodes": [0],
-                    "final_state": [None],
-                    "ok": [False],
-                    "violation_idx": [-1],
-                    "truncated": [True],
-                }
-            )
-        return pd.DataFrame(
-            {
-                key_col: [key[0]] * len(rows),
-                "path": [r[0] for r in rows],
-                "n_nodes": [r[1] for r in rows],
-                "final_state": [r[2] for r in rows],
-                "ok": [r[3] < 0 and r[2] in accept for r in rows],
-                "violation_idx": [r[3] for r in rows],
-                "truncated": [truncated] * len(rows),
-            }
-        )
+            out["key"].append(key)
+            out["path"].append(None)
+            out["n_nodes"].append(0)
+            out["final_state"].append(None)
+            out["ok"].append(False)
+            out["violation_idx"].append(-1)
+            out["truncated"].append(True)
+            return
+        out["key"].extend([key] * len(rows))
+        out["path"].extend(r[0] for r in rows)
+        out["n_nodes"].extend(r[1] for r in rows)
+        out["final_state"].extend(r[2] for r in rows)
+        out["ok"].extend(r[3] < 0 and r[2] in accept for r in rows)
+        out["violation_idx"].extend(r[3] for r in rows)
+        out["truncated"].extend([truncated] * len(rows))
 
-    return both.groupBy(key_col).applyInPandas(solve, out_schema)
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        def new_out():
+            return {"key": [], **{c: [] for c in COLS}}
+
+        def to_pdf(out):
+            data = {key_col: out["key"]}
+            data.update({c: out[c] for c in COLS})
+            return pd.DataFrame(data)
+
+        def process(pdf, out):
+            keys = pdf[key_col].to_numpy()
+            a = pdf["__a"].to_numpy()
+            b = pdf["__b"].to_numpy()
+            sym = pdf["__sym"].to_numpy()
+            ed = pdf["__is_edge"].to_numpy()
+            cuts = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+            starts = np.concatenate(([0], cuts))
+            ends = np.concatenate((cuts, [len(keys)]))
+            for st, en in zip(starts, ends):
+                solve_group(
+                    keys[st], a[st:en], b[st:en], sym[st:en], ed[st:en], out
+                )
+
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            keys = pdf[key_col].to_numpy()
+            cut = int(np.searchsorted(keys, keys[-1], side="left"))
+            carry = pdf.iloc[cut:]
+            head = pdf.iloc[:cut]
+            if len(head):
+                out = new_out()
+                process(head, out)
+                if out["key"]:
+                    yield to_pdf(out)
+        if carry is not None and len(carry):
+            out = new_out()
+            process(carry, out)
+            if out["key"]:
+                yield to_pdf(out)
+
+    return both.mapInPandas(run, out_schema)

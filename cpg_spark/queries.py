@@ -1032,63 +1032,43 @@ def q_eog_corpus_reach(spark, sf_dir):
     from .operators.iterutil import ckpt as _ckpt
 
     docs = t_par(spark, sf_dir, "documents")
-    toks = textstats.doc_tokens(F.col("text"))
-    # chunks is scanned 3x downstream (both hop-join sides + seeds);
-    # materialize the tokenize/chunk kernel ONCE — the same rationale as
-    # bfs_reach's up-front edge materialization
-    chunks = _ckpt(
-        docs.filter(F.size(toks) > 0)
-        .select(
+    # r7: ONE compact row per document — array<struct<guard, even>> per
+    # 10-token chunk, computed from token slices without ever building
+    # the chunk string (guard = contains; length of the ' '-join =
+    # Σlen + k−1), behind a cheap regex pre-filter (never filter on the
+    # computed token array — scan-pushdown re-tokenizes single-task)
+    docs_ci = _ckpt(
+        docs.filter(textstats.has_min_tokens(F.col("text"))).select(
             F.col("doc_id").cast("long").alias("doc_id"),
-            F.posexplode(
-                F.transform(chunk_array(toks, 10), lambda c: F.array_join(c, " "))
-            ).alias("chunk_idx", "chunk_text"),
-        )
-        .select(
-            "doc_id",
-            F.col("chunk_idx").cast("long").alias("chunk_idx"),
-            F.array_contains(F.split("chunk_text", " "), "spark").alias("guard"),
-            (F.length("chunk_text") % 2 == 0).alias("cond_value"),
+            _chunk_info(F.col("text"), 10).alias("ci"),
         ),
         None,
     )
-    # node ids are plain chunk indices: the group column scopes them per
-    # document, so no composite doc#chunk string packing is needed
-    src = chunks.select(
-        "doc_id", F.col("chunk_idx").alias("src"), "guard", "cond_value"
+    chunks = docs_ci.select(
+        "doc_id",
+        F.posexplode("ci").alias("chunk_idx", "c"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.guard").alias("guard"),
+        F.col("c.even").alias("cond_value"),
     )
-    tgt = chunks.select(
-        F.col("doc_id").alias("__d"), F.col("chunk_idx").alias("__i")
-    )
-
-    def hop(n, branch, cond):
-        return (
-            src.join(
-                tgt,
-                (F.col("doc_id") == F.col("__d"))
-                & (F.col("__i") == F.col("src") + n),
-            )
-            .select(
-                "doc_id",
-                "src",
-                F.col("__i").alias("dst"),
-                branch.alias("branch"),
-                cond.alias("cond_value"),
-                "guard",
-            )
-        )
-
-    nulls = F.lit(None).cast("string")
-    nullb = F.lit(None).cast("boolean")
-    linear = hop(1, nulls, nullb).filter(~F.col("guard"))
-    br_true = hop(1, F.lit("true"), F.col("cond_value")).filter(F.col("guard"))
-    br_false = hop(2, F.lit("false"), F.col("cond_value")).filter(F.col("guard"))
+    # chunk successors are POSITIONAL (dst = src+1 / src+2 over the
+    # dense chunk index), so the edge list is generated per row from
+    # the chunk-info array — the former hop equi-joins shuffled the
+    # chunk table twice to discover neighbors it already knew (§2.4)
     edges = flag_unreachable_edges(
-        linear.unionByName(br_true).unionByName(br_false).drop("guard")
+        docs_ci.select(
+            "doc_id", F.explode(_chunk_edges(F.col("ci"), branched=True)).alias("e")
+        ).select(
+            "doc_id",
+            F.col("e.src").alias("src"),
+            F.col("e.dst").alias("dst"),
+            F.col("e.branch").alias("branch"),
+            F.col("e.cond_value").alias("cond_value"),
+        )
     )
-    seeds = chunks.filter(F.col("chunk_idx") == 0).select(
-        "doc_id", F.col("chunk_idx").alias("node")
-    )
+    seeds = docs_ci.select("doc_id", F.lit(0).cast("long").alias("node"))
     reach = canonicalize.bfs_reach_grouped(
         edges, seeds, group_col="doc_id", src="src", dst="dst", max_hops=32
     )
@@ -1097,6 +1077,90 @@ def q_eog_corpus_reach(spark, sf_dir):
         F.col("node").alias("chunk_idx"),
         F.col("hops").cast("int").alias("hops"),
     )
+
+
+def _chunk_info(text, chunk_tokens: int):
+    """array<struct<guard, even>> per fixed-size token chunk: guard =
+    chunk contains 'spark', even = parity of the ' '-joined chunk text's
+    length (= Σ token lens + k − 1) — identical values to building the
+    chunk string, computed from token slices in one let-bound pass."""
+    from .functions.hashing import let_col
+
+    def inner(t):
+        n_chunks = F.ceil(F.size(t) / F.lit(chunk_tokens)).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+            lambda i: let_col(
+                F.slice(t, i * chunk_tokens + 1, chunk_tokens),
+                lambda c: F.struct(
+                    F.array_contains(c, "spark").alias("guard"),
+                    (
+                        (
+                            F.aggregate(
+                                c,
+                                F.lit(0).cast("long"),
+                                lambda a, w: a + F.length(w),
+                            )
+                            + F.size(c)
+                            - 1
+                        )
+                        % 2
+                        == 0
+                    ).alias("even"),
+                ),
+            ),
+        )
+
+    return let_col(textstats.doc_tokens(text), inner)
+
+
+def _chunk_edges(ci, branched: bool):
+    """Positional chunk-EOG edge structs from a chunk-info array.
+
+    branched=True (eog_corpus_reach): non-guard chunks emit a linear
+    src->src+1 edge (branch NULL), guard chunks a 'true' src->src+1 and
+    a 'false' src->src+2 edge carrying the folded condition.
+    branched=False (eog_dfa_branched): every chunk emits src->src+1,
+    guards additionally src->src+2 (conditions treated as unknown)."""
+    K = F.size(ci)
+    lng = lambda c: c.cast("long")  # noqa: E731
+    nulls, nullb = F.lit(None).cast("string"), F.lit(None).cast("boolean")
+
+    def seq_upto(last):
+        # sequence(0, last) DESCENDS when last < 0 — guard with IF
+        return F.when(
+            last >= 0, F.sequence(F.lit(0), F.greatest(last, F.lit(0)))
+        ).otherwise(F.array().cast("array<int>"))
+
+    def estruct(i, hop, branch, cond):
+        return F.struct(
+            lng(i).alias("src"),
+            lng(i + hop).alias("dst"),
+            branch.alias("branch"),
+            cond.alias("cond_value"),
+        )
+
+    g = lambda i: F.element_at(ci, i + 1).getField("guard")  # noqa: E731
+    ev = lambda i: F.element_at(ci, i + 1).getField("even")  # noqa: E731
+    if branched:
+        lin = F.transform(
+            F.filter(seq_upto(K - 2), lambda i: ~g(i)),
+            lambda i: estruct(i, 1, nulls, nullb),
+        )
+        bt = F.transform(
+            F.filter(seq_upto(K - 2), g),
+            lambda i: estruct(i, 1, F.lit("true"), ev(i)),
+        )
+        bf = F.transform(
+            F.filter(seq_upto(K - 3), g),
+            lambda i: estruct(i, 2, F.lit("false"), ev(i)),
+        )
+        return F.concat(lin, bt, bf)
+    nxt = F.transform(seq_upto(K - 2), lambda i: estruct(i, 1, nulls, nullb))
+    skip = F.transform(
+        F.filter(seq_upto(K - 3), g), lambda i: estruct(i, 2, nulls, nullb)
+    )
+    return F.concat(nxt, skip)
 
 
 SQL_EOG_CORPUS_REACH = f"""
@@ -1162,24 +1226,23 @@ def q_eog_dfa_branched(spark, sf_dir):
     from .operators.iterutil import ckpt as _ckpt
 
     docs = t_par(spark, sf_dir, "documents")
-    toks = textstats.doc_tokens(F.col("text"))
-    # scanned 4x downstream (nodes + both hop-join sides); materialize
-    # the tokenize/chunk kernel once (bfs_reach's up-front rule)
-    chunks = _ckpt(
-        docs.filter(F.size(toks) > 0)
-        .select(
+    # r7: same compact per-doc chunk-info array + positional edge
+    # generation as q_eog_corpus_reach — the former hop equi-joins
+    # shuffled the chunk table twice to discover dst = src+1/src+2
+    docs_ci = _ckpt(
+        docs.filter(textstats.has_min_tokens(F.col("text"))).select(
             F.col("doc_id").cast("long").alias("doc_id"),
-            F.posexplode(
-                F.transform(chunk_array(toks, 10), lambda c: F.array_join(c, " "))
-            ).alias("chunk_idx", "chunk_text"),
-        )
-        .select(
-            "doc_id",
-            F.col("chunk_idx").cast("long").alias("chunk_idx"),
-            F.array_contains(F.split("chunk_text", " "), "spark").alias("guard"),
-            (F.length("chunk_text") % 2 == 0).alias("even"),
+            _chunk_info(F.col("text"), 10).alias("ci"),
         ),
         None,
+    )
+    chunks = docs_ci.select(
+        "doc_id", F.posexplode("ci").alias("chunk_idx", "c")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.guard").alias("guard"),
+        F.col("c.even").alias("even"),
     )
     nodes = chunks.select(
         "doc_id",
@@ -1189,22 +1252,10 @@ def q_eog_dfa_branched(spark, sf_dir):
         .otherwise(F.lit("o"))
         .alias("symbol"),
     )
-    src = chunks.select("doc_id", F.col("chunk_idx").alias("src"), "guard")
-    tgt = chunks.select(
-        F.col("doc_id").alias("__d"), F.col("chunk_idx").alias("__i")
-    )
-
-    def hop(n):
-        return src.join(
-            tgt,
-            (F.col("doc_id") == F.col("__d"))
-            & (F.col("__i") == F.col("src") + n),
-        ).select("doc_id", "src", F.col("__i").alias("dst"), "guard")
-
-    edges = (
-        hop(1)  # linear successor AND every guard's true branch
-        .unionByName(hop(2).filter(F.col("guard")))  # guard false branch
-        .drop("guard")
+    edges = docs_ci.select(
+        "doc_id", F.explode(_chunk_edges(F.col("ci"), branched=False)).alias("e")
+    ).select(
+        "doc_id", F.col("e.src").alias("src"), F.col("e.dst").alias("dst")
     )
     transitions = spark.createDataFrame(
         [
