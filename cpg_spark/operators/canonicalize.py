@@ -53,7 +53,12 @@ def _checksum(df: DataFrame) -> tuple[int, int]:
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each u: connect all strictly larger neighbors to
-    min(neighborhood ∪ {u})."""
+    min(neighborhood ∪ {u}).
+
+    No dedup here (r7): _small_star consumes this output through a
+    min() aggregation (duplicate-insensitive) and dedups its own round
+    output, so the extra exchange bought nothing — one fewer shuffle
+    per iteration."""
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
     mins = mins.select("u", F.least("u", "mn").alias("m"))
@@ -62,7 +67,6 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
@@ -143,14 +147,11 @@ def connected_components(
     n_edges = e.count()
     if 0 < n_edges <= driver_threshold:
         return _unionfind_driver(e)
-    # adaptive layout: a dictionary-sized graph must not pay a
-    # 32-partition shuffle x ~10 iterations of driver round-trips; a
-    # web-sized graph keeps the session's full shuffle width
-    spark = e.sparkSession
-    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    nparts = max(1, min(width, n_edges // 50_000 + 1))
-    if nparts < width:
-        e = _ckpt(e.repartition(nparts, "u"), checkpoint_dir)
+    # layout: AQE's partition coalescing already collapses each round's
+    # tiny exchanges for dictionary-sized graphs, so the former explicit
+    # nparts repartition (one extra exchange per round) bought nothing —
+    # measured ~1s/run slower at 147k edges (r7); web-sized graphs keep
+    # the session's width either way
 
     all_nodes = _ckpt(
         e.select(F.col("u").alias("member_id"))
@@ -170,8 +171,6 @@ def connected_components(
         # iteration (truncating lineage) and tests convergence — one
         # driver round-trip per round instead of two
         step = _small_star(_large_star(e))
-        if nparts < width:
-            step = step.repartition(nparts, "u")
         e = _ckpt(step, checkpoint_dir, eager=False)
         cur = _checksum(e)
         if cur == prev:

@@ -468,12 +468,14 @@ def _repetition_scored(docs: DataFrame) -> DataFrame:
     def _gram_cov(n: int, top: bool) -> Column:
         # covered chars of the qualifying n-gram family, one per-row
         # expression; single-element transform() calls are pure-SQL
-        # let-bindings so each subtree evaluates exactly once
+        # let-bindings so each subtree evaluates exactly once.
+        # r7: the family's fingerprints come from the chained __fp{n}
+        # column (each derived from __fp{n-1} with one multiply-add per
+        # position) instead of an O(n) slice-fold per position — ~6x
+        # less fold work across the 9 families, identical values.
         fps = (
-            f"transform(sequence(1, size(__th) - {n} + 1), "
-            f"i -> struct(aggregate(slice(__th, i, {n}), "
-            f"CAST(0 AS BIGINT), (a, h) -> (a * {M} + h) % {P}) AS f, "
-            "i AS p))"
+            f"transform(sequence(1, size(__fp{n})), "
+            f"i -> struct(element_at(__fp{n}, i) AS f, i AS p))"
         )
         if top:
             # run-length fold over fp-sorted pairs; strict > keeps the
@@ -570,6 +572,29 @@ def _repetition_scored(docs: DataFrame) -> DataFrame:
         .withColumn("__ln", F.expr(_dup_units("__lnu")))
         .withColumn("__pa", F.expr(_dup_units("__pau")))
     )
+    # chained gram-fingerprint families: fp_n[i] = (fp_{n-1}[i]*M +
+    # th[i+n-1]) mod P — exactly the left fold over th[i..i+n-1]
+    # (th < P, fp*M < 2^62; each layer is one multiply-add per position)
+    all_ns = sorted(GOPHER_TOP_NGRAM_MAX) + sorted(GOPHER_DUP_NGRAM_MAX)
+    prepared = prepared.withColumn(
+        "__fp2",
+        F.expr(
+            f"IF(size(__th) >= 2, transform(sequence(1, size(__th) - 1), "
+            f"i -> (element_at(__th, i) * {M} + element_at(__th, i + 1)) % {P}), "
+            "CAST(array() AS array<bigint>))"
+        ),
+    )
+    for n in range(3, max(all_ns) + 1):
+        prepared = prepared.withColumn(
+            f"__fp{n}",
+            F.expr(
+                f"IF(size(__th) >= {n}, "
+                f"transform(sequence(1, size(__th) - {n - 1}), "
+                f"i -> (element_at(__fp{n - 1}, i) * {M} "
+                f"+ element_at(__th, i + {n - 1})) % {P}), "
+                "CAST(array() AS array<bigint>))"
+            ),
+        )
 
     has = F.size("__t") > 0
 
