@@ -309,6 +309,13 @@ def jaccard_for_pairs(
     # arrays crossing two exchanges — measured 32.6s at sf1.0 vs 10.0s
     # for this join even before the kernel rewrite; results bit-equal).
     # Work is bounded by Σ_{(a,b)∈pairs}|A| join probes — all codegen.
+    # The confined index feeds THREE consumers (sizes + both join
+    # sides); materialize it once (lineage-truncating checkpoint — the
+    # in-session analog of the index table a 100 TB run would snapshot)
+    # instead of re-running the kernel per consumer.
+    from .iterutil import ckpt as _ckpt
+
+    idx_c = _ckpt(idx_c, None)
     sizes = idx_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a_sh = pairs.join(idx_c.withColumnRenamed("doc_id", "a"), "a")
     n_common = (

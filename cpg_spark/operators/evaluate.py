@@ -356,10 +356,15 @@ def evaluate_expression_sets(
             )
             if solved.isEmpty():
                 break
-        vals = _ckpt(vals.unionByName(solved), checkpoint_dir)
+        # lazy truncation (r7): vals/pending are only consumed by the
+        # next round's plans — materializing them eagerly added two
+        # driver barriers per round; the eager `solved` checkpoint above
+        # (needed for the isEmpty probe) keeps lineage bounded
+        vals = _ckpt(vals.unionByName(solved), checkpoint_dir, eager=False)
         pending = _ckpt(
             pending.join(solved.select("node_id"), "node_id", "left_anti"),
             checkpoint_dir,
+            eager=False,
         )
     return vals
 
@@ -466,9 +471,14 @@ def evaluate_expressions(
         )
         if solved.isEmpty():
             break
-        vals = _ckpt(vals.unionByName(solved), checkpoint_dir)
+        # lazy truncation (r7): vals/pending are only consumed by the
+        # next round's plans — materializing them eagerly added two
+        # driver barriers per round; the eager `solved` checkpoint above
+        # (needed for the isEmpty probe) keeps lineage bounded
+        vals = _ckpt(vals.unionByName(solved), checkpoint_dir, eager=False)
         pending = _ckpt(
             pending.join(solved.select("node_id"), "node_id", "left_anti"),
             checkpoint_dir,
+            eager=False,
         )
     return vals

@@ -100,16 +100,21 @@ def curate(
         gate_fail = gate_fail | ~F.coalesce(
             F.col("c4_pass") & F.col("fineweb_pass"), F.lit(False)
         )
-    gated = annotated.withColumn("__gated", gate_fail)
-
     # fan-out point #1: exact dedup, MinHash, the Jaccard verify, and
-    # the kept/dropped outputs all read the gated survivors — cache so
-    # the tokenize/quality/lang-id gate chain runs once, not per
-    # consumer (a production run materializes this stage to a snapshot;
-    # the cache is the in-session analog, released via `unpersist`)
-    survivors = gated.filter(~F.col("__gated")).drop("__gated")
+    # the kept/dropped outputs all read the gated rows — cache the
+    # ANNOTATED frame (before the filter) so the tokenize/quality/
+    # lang-id chain runs once, not per consumer, AND so the gate filter
+    # applies to materialized rows: filtering on the computed columns
+    # directly would push the whole gate expression chain below the
+    # upstream repartition into the single-split scan (the r7
+    # filter-on-computed rule — measured 5.6s for the gate chain alone
+    # at sf1.0, ~1s cached). A production run materializes this stage
+    # to a snapshot; the cache is the in-session analog, released via
+    # `unpersist`.
     if cache:  # cache=False = plan-audit mode (explain the raw chain)
-        survivors = survivors.cache()
+        annotated = annotated.cache()
+    gated = annotated.withColumn("__gated", gate_fail)
+    survivors = gated.filter(~F.col("__gated")).drop("__gated")
 
     # exact dedup on normalized text
     exact = dedup.exact_dup_map(survivors).withColumnRenamed(
@@ -174,7 +179,7 @@ def curate(
         "dropped": dropped,
         "dup_map": dup_map,
         "lsh_dropped_buckets": lsh_dropped,
-        "unpersist": lambda: (cand.unpersist(), survivors.unpersist()),
+        "unpersist": lambda: (cand.unpersist(), annotated.unpersist()),
     }
 
 
