@@ -272,7 +272,9 @@ def bfs_reach(
         nxt = _ckpt(nxt, checkpoint_dir)
         if nxt.isEmpty():
             break
-        visited = _ckpt(visited.unionByName(nxt), checkpoint_dir)
+        # lazy truncation (r7): visited is only consumed by later plans;
+        # the eager nxt checkpoint above already bounds lineage
+        visited = _ckpt(visited.unionByName(nxt), checkpoint_dir, eager=False)
         frontier = nxt
     return visited
 

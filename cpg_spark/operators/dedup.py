@@ -612,6 +612,12 @@ def anchor_chunk_dedup(
     chunks = fam_frames[0]
     for f in fam_frames[1:]:
         chunks = chunks.unionByName(f)
+    # narrow (doc_id, fam, start, end, fp) rows; materialize once — the
+    # agg and the join-back below would otherwise each re-run the span
+    # kernel (same contract as jaccard_for_pairs' confined index)
+    from .iterutil import ckpt as _ckpt
+
+    chunks = _ckpt(chunks, None)
 
     # combinable count + min(struct) + equi-join back on (fam, fp) — the
     # r6-verdict retrofit, replacing the (fam, fp) rank window; only

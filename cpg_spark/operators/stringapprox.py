@@ -191,7 +191,9 @@ def productions_from_dfg(
         )
         if nxt.isEmpty():
             break
-        labels = _ckpt(labels.unionByName(nxt), checkpoint_dir)
+        # lazy truncation (r7): labels is only consumed by later plans;
+        # the eager nxt checkpoint above already bounds lineage
+        labels = _ckpt(labels.unionByName(nxt), checkpoint_dir, eager=False)
         frontier = nxt
 
     # nt remap: the hotspot node itself -> 0, every other node -> id + 1

@@ -472,44 +472,53 @@ def _repetition_scored(docs: DataFrame) -> DataFrame:
         # r7: the family's fingerprints come from the chained __fp{n}
         # column (each derived from __fp{n-1} with one multiply-add per
         # position) instead of an O(n) slice-fold per position — ~6x
-        # less fold work across the 9 families, identical values.
+        # less fold work — and each (fp, pos) pair is PACKED into one
+        # int64 (fp * 2^31 + pos; max (P-1)*2^31 + 2^31 < 2^63) so the
+        # per-row sort runs on primitive longs instead of structs and
+        # packed order == (fp asc, pos asc) exactly. Identical values.
         fps = (
             f"transform(sequence(1, size(__fp{n})), "
-            f"i -> struct(element_at(__fp{n}, i) AS f, i AS p))"
+            f"i -> element_at(__fp{n}, i) * 2147483648 + i)"
         )
+        unpack_f = "({x} DIV 2147483648)"
+        unpack_p = "CAST({x} % 2147483648 AS INT)"
         if top:
-            # run-length fold over fp-sorted pairs; strict > keeps the
-            # first (smallest-fp) run on count ties, matching the
-            # oracle's ORDER BY c DESC, fp
+            # run-length fold over fp-sorted packed pairs; strict >
+            # keeps the first (smallest-fp) run on count ties, matching
+            # the oracle's ORDER BY c DESC, fp
+            xf = unpack_f.format(x="x")
             best = (
                 "aggregate(prs, named_struct("
                 "'cf', CAST(-1 AS BIGINT), 'cc', CAST(0 AS BIGINT), "
                 "'bf', CAST(-1 AS BIGINT), 'bc', CAST(0 AS BIGINT)), "
-                "(s, x) -> if(x.f = s.cf, "
+                f"(s, x) -> if({xf} = s.cf, "
                 "named_struct('cf', s.cf, 'cc', s.cc + CAST(1 AS BIGINT), "
                 "'bf', s.bf, 'bc', s.bc), "
                 "if(s.cc > s.bc, "
-                "named_struct('cf', x.f, 'cc', CAST(1 AS BIGINT), "
+                f"named_struct('cf', {xf}, 'cc', CAST(1 AS BIGINT), "
                 "'bf', s.cf, 'bc', s.cc), "
-                "named_struct('cf', x.f, 'cc', CAST(1 AS BIGINT), "
+                f"named_struct('cf', {xf}, 'cc', CAST(1 AS BIGINT), "
                 "'bf', s.bf, 'bc', s.bc))), "
                 "s -> if(s.cc > s.bc, s.cf, s.bf))"
             )
-            # pairs sort by (f, p): within the best run positions are
-            # already ascending — no re-sort needed
+            # packed order sorts by (f, p): within the best run the
+            # positions are already ascending — no re-sort needed
             qpos = (
                 f"transform(array({best}), bf -> "
-                "transform(filter(prs, x -> x.f = bf), x -> x.p))[0]"
+                f"transform(filter(prs, x -> {xf} = bf), "
+                f"x -> {unpack_p.format(x='x')}))[0]"
             )
         else:
             # an occurrence qualifies iff its fp has a sorted-order
             # neighbor with the same fp (count > 1)
+            ej = unpack_f.format(x="element_at(prs, j)")
+            ejm = unpack_f.format(x="element_at(prs, j - 1)")
+            ejp = unpack_f.format(x="element_at(prs, j + 1)")
             qpos = (
                 "array_sort(transform(filter(sequence(1, size(prs)), j -> "
-                "(j > 1 AND element_at(prs, j).f = element_at(prs, j - 1).f) "
-                "OR (j < size(prs) "
-                "AND element_at(prs, j).f = element_at(prs, j + 1).f)), "
-                "j -> element_at(prs, j).p))"
+                f"(j > 1 AND {ej} = {ejm}) "
+                f"OR (j < size(prs) AND {ej} = {ejp})), "
+                f"j -> {unpack_p.format(x='element_at(prs, j)')}))"
             )
         # union coverage: starts are sorted and every interval has
         # length n, so occurrence j contributes exactly the positions
