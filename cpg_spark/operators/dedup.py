@@ -200,6 +200,22 @@ def lsh_dropped_buckets(
     return sizes.filter(F.col("n_members") > max_bucket_size)
 
 
+def _df_capped(idx: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Drop shingles with document frequency above the cap. r7 shape:
+    combinable count + semi-join back — never a count window partitioned
+    by the content key (a boilerplate shingle with 10^8 postings would
+    sort on one task; the same single-reducer class the r6 verdict
+    flagged on the segment dedups). The agg is map-side partial and the
+    join hot key is AQE-splittable; the surviving row set is identical."""
+    rare = (
+        idx.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_doc_freq)
+        .select("sh")
+    )
+    return idx.join(rare, "sh", "left_semi")
+
+
 def jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -218,18 +234,15 @@ def jaccard_pairs(
     default None keeps exact semantics (oracle parity); with a cap the
     jaccard becomes an under-estimate over the rare-shingle subspace —
     doc sizes are still counted post-filter so the ratio stays in [0,1]."""
-    idx = shingle_index(docs, n)
+    from .iterutil import ckpt as _ckpt
+
+    # the inverted index feeds the df-cap plus THREE consumers (sizes +
+    # both self-join sides) — materialize it once (the index table a
+    # full-scale run would snapshot) instead of re-running the shingle
+    # kernel per consumer
+    idx = _ckpt(shingle_index(docs, n), None)
     if max_doc_freq is not None:
-        # document frequency as a window count: one shuffle on sh instead
-        # of the groupBy+join's two, and the exchange is reused by the
-        # self-join below (both sides already hash-partitioned on sh)
-        idx = (
-            idx.withColumn(
-                "__df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
-            )
-            .filter(F.col("__df") <= max_doc_freq)
-            .drop("__df")
-        )
+        idx = _ckpt(_df_capped(idx, max_doc_freq), None)
     sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     left = idx.alias("l")
     right = idx.alias("r")
@@ -294,13 +307,10 @@ def jaccard_for_pairs(
             ).alias("sh"),
         )
     else:
-        idx = shingle_index(docs, n).drop("lang")
-        idx = (
-            idx.withColumn(
-                "__df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
-            )
-            .filter(F.col("__df") <= max_doc_freq)
-            .drop("__df")
+        from .iterutil import ckpt as _ckpt_idx
+
+        idx = _df_capped(
+            _ckpt_idx(shingle_index(docs, n).drop("lang"), None), max_doc_freq
         )
         idx_c = idx.join(cand_ids, "doc_id", "left_semi")
     # r7 shape: intersection sizes via the candidate-CONFINED inverted

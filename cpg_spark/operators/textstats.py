@@ -223,7 +223,7 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     base = docs.select("doc_id", F.explode(doc_tokens(F.col("text"))).alias("term"))
     tf = base.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     totals = (
-        docs.filter(F.size(doc_tokens(F.col("text"))) > 0)
+        docs.filter(has_min_tokens(F.col("text")))
         .agg(F.count_distinct("doc_id").alias("__n"))
     )
     scored = (

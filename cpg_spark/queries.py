@@ -1392,7 +1392,9 @@ def q_kg_doc_chunks(spark, sf_dir):
     docs = t_par(spark, sf_dir, "documents")
     toks = textstats.doc_tokens(F.col("text"))
     return (
-        docs.filter(F.size(toks) > 0)
+        # cheap regex pre-filter (r7 rule: a predicate on the computed
+        # token array pushes into the scan and tokenizes single-task)
+        docs.filter(textstats.has_min_tokens(F.col("text")))
         .select(
             "doc_id",
             F.posexplode(
