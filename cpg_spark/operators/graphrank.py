@@ -647,8 +647,15 @@ def kcore(
     frame lineage-truncates per round.
 
     Returns (node, in_kcore, core_deg) for every node of the input
-    graph — core_deg is the node's degree within the surviving
-    subgraph (0 for peeled nodes)."""
+    graph — core_deg is the survivor's degree measured against the
+    PREVIOUS round's alive set (the penultimate-round degree; when the
+    peel converges within n_rounds this equals the degree inside the
+    final subgraph, otherwise it can exceed it — consistent with the
+    over-approximating contract above; 0 for peeled nodes). Requires
+    n_rounds >= 1 (with 0 rounds there is no degree table to report
+    and the join below would crash on deg=None — r6 ADVICE finding)."""
+    if n_rounds < 1:
+        raise ValueError("kcore requires n_rounds >= 1")
     from .iterutil import ckpt as _ckpt_impl
 
     if truncate_lineage:

@@ -546,7 +546,13 @@ def decode_values(payload: bytes | None) -> dict:
             return out
         out["mean_v"] = out["sum_v"] / out["n_values"]
     except Exception:  # malformed container: never fail the batch
-        out["error"] = "malformed"
+        # reset any partially populated stats (e.g. a zero-pixel GIF
+        # sets n_values/sum_v before min() raises) so a malformed row
+        # never carries misleading numbers alongside its error flag
+        # (r6 ADVICE finding); only the sniffed kind survives
+        kind = out.get("kind")
+        out = {key: None for key in out}
+        out["kind"], out["error"] = kind, "malformed"
     return out
 
 

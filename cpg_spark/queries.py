@@ -4256,11 +4256,12 @@ def q_mm_pixel_stats(spark, sf_dir):
     """REAL value-level multimodal decode under the oracle gate
     (multimodal.decode_values / pixel_stats — r5 verdict missing #1
     narrowed again in r6): deterministic binary fixtures cycle by
-    doc_id % 4 — 24-bit BMP with stride padding (sum/min/max per BGR
+    doc_id % 5 — 24-bit BMP with stride padding (sum/min/max per BGR
     channel), 16-bit PCM WAV, a REAL zlib-compressed PNG
     (gray/RGB/RGBA cycling by doc_id % 3, every scanline filtered
     with type (id+y) % 5 so the full None/Sub/Up/Average/Paeth
-    reconstruction runs under the gate), and 8-bit PCM WAV. The
+    reconstruction runs under the gate), 8-bit PCM WAV, and a GIF
+    (hand-rolled variable-width LZW decode, fifth arm). The
     payload builder writes real container bytes from a closed-form
     value formula; the oracle never sees the bytes — it recomputes the
     expected stats straight from the formula, so what's checked is the

@@ -211,10 +211,17 @@ class SnapshotMergeSink:
                 f,
             )
         _os.replace(tmp, self.pointer)  # atomic on POSIX
+        # match any v<digits> and order NUMERICALLY: past batch_id
+        # 999999 the names grow to 7 digits, where a lexicographic sort
+        # breaks retention order and a 6-digit-only pattern never prunes
+        # (r6 ADVICE finding)
         vdirs = sorted(
-            d
-            for d in _os.listdir(self.out_dir)
-            if _re.fullmatch(r"v\d{6}", d)
+            (
+                d
+                for d in _os.listdir(self.out_dir)
+                if _re.fullmatch(r"v\d+", d)
+            ),
+            key=lambda name: int(name[1:]),
         )
         for stale in vdirs[: -self.retain]:
             _shutil.rmtree(
