@@ -2650,10 +2650,16 @@ def q_ts_weighted_sample(spark, sf_dir):
     the survival draw is the shared content hash, the threshold is
     quality*quality (integer temperature = repeated multiplication, so
     the doubles are bit-identical in the oracle)."""
+    from .operators.iterutil import ckpt as _ckpt
     from .operators.sampling import weighted_sample
 
-    docs = t(spark, sf_dir, "documents")
-    q = textstats.quality_score(docs).select("doc_id", "quality")
+    # r7: parallel scan width + materialize the scored table before the
+    # survival filter — the draw predicate references the computed
+    # quality column and would otherwise be pushed below the repartition
+    # into the single-split scan, re-running the quality kernel
+    # single-task (the filter-on-computed rule)
+    docs = t_par(spark, sf_dir, "documents")
+    q = _ckpt(textstats.quality_score(docs).select("doc_id", "quality"), None)
     out = weighted_sample(
         q, key_col="doc_id", weight_col="quality", temperature=2, salt="wq"
     )

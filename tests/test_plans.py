@@ -83,12 +83,19 @@ def test_unresolved_refs_anti_join_broadcast(plans):
     assert "CartesianProduct" not in p
 
 
-def test_jaccard_capped_single_index_window(plans):
-    """The df-cap is a window count — exactly one extra shuffle on sh,
-    no groupBy+join double-shuffle, and no cartesian anywhere."""
+def test_jaccard_capped_skew_safe_df_cap(plans):
+    """r7: the df-cap is a combinable count + semi-join back — NEVER a
+    count window partitioned by the content key (a boilerplate shingle
+    with 10^8 postings would sort on one task; the single-reducer class
+    the r6 verdict flagged). No window keyed by a fingerprint, no
+    cartesian anywhere; the semi-join is present."""
     p = plans("dd_jaccard_capped")
-    assert "Window" in p
+    assert "Window" not in p
     assert "CartesianProduct" not in p
+    # the capped index is materialized once (lineage-truncating
+    # checkpoint) ahead of its consumers, so the final plan reads the
+    # in-memory index instead of re-running the shingle kernel 3x
+    assert "ExistingRDD" in p
 
 
 def test_eog_order_edges_one_shuffle(plans):
