@@ -11,6 +11,7 @@ within one run's partition layout).
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache as _lru_cache
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -127,6 +128,19 @@ for _ in range(_POW31_TABLE_LEN):
     _POW31.append(_POW31[-1] * 31 % CHAR_POLY_P)
 
 
+@_lru_cache(maxsize=None)
+def _pow31_table_col() -> Column:
+    """The 257-entry shift table as ONE parsed SQL literal array, built
+    once per process. The F.array(*[F.lit(x) ...]) form costs 257 py4j
+    round trips (~0.15 s) per call, and the table is embedded in every
+    composed-hash kernel — Column trees are immutable and data-free, so
+    sharing one instance across plans is safe (lambda variables are
+    resolved fresh per plan at analysis time)."""
+    return F.expr(
+        "array(" + ", ".join(f"{x}L" for x in _POW31) + ")"
+    )
+
+
 def let_col(col: Column, f) -> Column:
     """Pure-SQL let binding: evaluate `col` ONCE and bind it as the
     lambda variable of f. Interpreted HOF evaluation re-computes every
@@ -140,7 +154,7 @@ def char_poly_pow_col(s: Column) -> Column:
     """31^length(s) mod CHAR_POLY_P — the shift factor for composing
     char_poly_hash_col values. Table lookup for the practical range,
     linear fold beyond (correct for any length)."""
-    arr = F.array(*[F.lit(x).cast("long") for x in _POW31])
+    arr = _pow31_table_col()
     L = F.length(s)
     fold = F.aggregate(
         F.sequence(F.lit(1), F.greatest(L, F.lit(1))),

@@ -14,6 +14,8 @@ blocked by `lang` and bucket keys so the pair space never goes O(n^2).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -98,6 +100,18 @@ def shingle_hash_array(text: Column, n: int = 3) -> Column:
     return let_col(doc_tokens(text), with_toks)
 
 
+@lru_cache(maxsize=None)
+def _shingle_text_col(n: int = 3) -> Column:
+    """shingle_hash_array over col('text'), memoized per n. The kernel's
+    Column tree is immutable and data-free (a pure code artifact), but
+    BUILDING it costs ~0.5 s of py4j round trips per call — a fixed
+    driver-side tax every query invocation used to pay (measured: ~29 s
+    of the sf0.1 headline was Python-side Column construction,
+    OPTIMIZATION_r07.md). Sharing one instance across plans is safe:
+    analysis resolves lambda variables fresh per plan."""
+    return shingle_hash_array(F.col("text"), n)
+
+
 def shingle_index(docs: DataFrame, n: int = 3) -> DataFrame:
     """Inverted-index rows (doc_id, lang, sh) — distinct shingle hashes
     per doc. Distinct-by-shuffle on purpose: the index feeds three
@@ -115,7 +129,7 @@ def exploded_shingles(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     expression (which blows past the codegen method limit and falls back
     to interpreted evaluation — measured 25x slower)."""
     return docs.select(
-        "doc_id", *keep, F.explode(shingle_hash_array(F.col("text"))).alias("sh")
+        "doc_id", *keep, F.explode(_shingle_text_col(3)).alias("sh")
     )
 
 
@@ -303,7 +317,7 @@ def jaccard_for_pairs(
         idx_c = docs.join(cand_ids, "doc_id", "left_semi").select(
             "doc_id",
             F.explode(
-                F.array_distinct(shingle_hash_array(F.col("text"), n))
+                F.array_distinct(_shingle_text_col(n))
             ).alias("sh"),
         )
     else:
@@ -443,30 +457,9 @@ def chunk_dedup(docs: DataFrame, chunk_tokens: int = 10) -> DataFrame:
     whose every chunk is someone else's boilerplate comes back with
     empty text and n_dropped = n_chunks (drop-decision left to the
     caller — never silent)."""
-    toks = doc_tokens(F.col("text"))
-
-    def chunk_fps(t):
-        def with_th(th):
-            def with_tp(tp):
-                n = F.size(t)
-                n_chunks = F.ceil(n / F.lit(chunk_tokens)).cast("int")
-                return F.transform(
-                    F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
-                    lambda i: _span_fp2(
-                        th,
-                        tp,
-                        i * chunk_tokens + 1,
-                        F.least(n, (i + 1) * chunk_tokens),
-                    ),
-                )
-
-            return let_col(F.transform(t, char_poly_pow_col), with_tp)
-
-        return let_col(F.transform(t, char_poly_hash_col), with_th)
-
     chunks = docs.select(
         "doc_id",
-        F.posexplode(let_col(toks, chunk_fps)).alias("chunk_idx", "fp"),
+        F.posexplode(_chunk_fps_col(chunk_tokens)).alias("chunk_idx", "fp"),
     )
     firsts = chunks.groupBy("fp").agg(
         F.min(F.struct("doc_id", "chunk_idx")).alias("__first")
@@ -484,18 +477,7 @@ def chunk_dedup(docs: DataFrame, chunk_tokens: int = 10) -> DataFrame:
     # reassembly: re-slice kept chunks from the doc's own tokens — the
     # ' '-join over flattened kept slices is byte-identical to joining
     # the kept chunk strings with ' '
-    rebuilt = F.array_join(
-        F.flatten(
-            let_col(
-                toks,
-                lambda t: F.transform(
-                    F.col("__kept_idx"),
-                    lambda i: F.slice(t, i * chunk_tokens + 1, chunk_tokens),
-                ),
-            )
-        ),
-        " ",
-    )
+    rebuilt = _chunk_rebuilt_col(chunk_tokens)
     return (
         docs.select("doc_id", "text")
         .join(per_doc, "doc_id", "left")
@@ -528,6 +510,81 @@ def _span_fp2(th: Column, tp: Column, start, end) -> Column:
         F.when(end < start, F.lit(0).cast("long"))
         .when(end == start, F.element_at(th, start))
         .otherwise(fold)
+    )
+
+
+@lru_cache(maxsize=None)
+def _chunk_fps_col(chunk_tokens: int) -> Column:
+    """chunk_dedup's fingerprint kernel over col('text'), memoized per
+    chunk width — parameter-only immutable Column tree (see
+    _shingle_text_col)."""
+
+    def chunk_fps(t):
+        def with_th(th):
+            def with_tp(tp):
+                n = F.size(t)
+                n_chunks = F.ceil(n / F.lit(chunk_tokens)).cast("int")
+                return F.transform(
+                    F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+                    lambda i: _span_fp2(
+                        th,
+                        tp,
+                        i * chunk_tokens + 1,
+                        F.least(n, (i + 1) * chunk_tokens),
+                    ),
+                )
+
+            return let_col(F.transform(t, char_poly_pow_col), with_tp)
+
+        return let_col(F.transform(t, char_poly_hash_col), with_th)
+
+    return let_col(doc_tokens(F.col("text")), chunk_fps)
+
+
+@lru_cache(maxsize=None)
+def _chunk_rebuilt_col(chunk_tokens: int) -> Column:
+    """chunk_dedup's reassembly projection (references col('__kept_idx')
+    from the per-doc agg), memoized per chunk width."""
+    return F.array_join(
+        F.flatten(
+            let_col(
+                doc_tokens(F.col("text")),
+                lambda t: F.transform(
+                    F.col("__kept_idx"),
+                    lambda i: F.slice(t, i * chunk_tokens + 1, chunk_tokens),
+                ),
+            )
+        ),
+        " ",
+    )
+
+
+@lru_cache(maxsize=None)
+def _anchor_spans_col(fam: int, anchor_mod: int) -> Column:
+    """anchor_chunk_dedup's family-fam span kernel (references the
+    __t/__th/__tp arrays of its prepared frame), memoized per
+    (family, anchor_mod) — parameter-only immutable Column tree."""
+    t = F.col("__t")
+
+    def _anchor(i):
+        h = F.element_at(F.col("__th"), i + 1)
+        for _ in range(fam):
+            h = poly_append_char(h, 2)
+        return (i == 0) | (h % anchor_mod == 0)
+
+    starts = F.filter(F.sequence(F.lit(0), F.size(t) - 1), _anchor)
+    ends = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(1))),
+        F.array(F.size(t)),
+    )
+    return F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.struct(
+            s.alias("start"),
+            e.alias("end"),
+            _span_fp2(F.col("__th"), F.col("__tp"), s + 1, e).alias("fp"),
+        ),
     )
 
 
@@ -587,33 +644,10 @@ def anchor_chunk_dedup(
     hp = base.withColumn(
         "__th", F.transform("__t", char_poly_hash_col)
     ).withColumn("__tp", F.transform("__t", char_poly_pow_col))
-    t = F.col("__t")
-
-    def _mk_anchor(fam: int):
-        def _anchor(i):
-            h = F.element_at(F.col("__th"), i + 1)
-            for _ in range(fam):
-                h = poly_append_char(h, 2)
-            return (i == 0) | (h % anchor_mod == 0)
-
-        return _anchor
 
     fam_frames = []
     for fam in range(n_families):
-        starts = F.filter(F.sequence(F.lit(0), F.size(t) - 1), _mk_anchor(fam))
-        ends = F.concat(
-            F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(1))),
-            F.array(F.size(t)),
-        )
-        spans = F.zip_with(
-            starts,
-            ends,
-            lambda s, e: F.struct(
-                s.alias("start"),
-                e.alias("end"),
-                _span_fp2(F.col("__th"), F.col("__tp"), s + 1, e).alias("fp"),
-            ),
-        )
+        spans = _anchor_spans_col(fam, anchor_mod)
         fam_frames.append(
             hp.select(
                 "doc_id", F.lit(fam).alias("fam"), F.explode(spans).alias("ch")

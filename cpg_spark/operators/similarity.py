@@ -14,11 +14,29 @@ write bucketed, then run per-bucket top-k — both pieces are here.
 
 from __future__ import annotations
 
+import math
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 LSH_NBITS = 16
 HYPERPLANE_MOD = 997
+
+
+def _lit_double_array(vals) -> Column:
+    """Literal array<double> as ONE parsed SQL expression instead of
+    len(vals)+1 py4j round trips (the PQ/IVFPQ builders embed hundreds
+    of collected floats as literals; per-literal construction measured
+    ~0.5-1 s of driver time per query build). repr() of a finite Python
+    float is the shortest decimal that round-trips, and the SQL parser
+    reads it back with correctly-rounded parsing — the resulting
+    doubles are bit-identical to F.lit(v)."""
+    vs = [float(v) for v in vals]
+    assert all(math.isfinite(v) for v in vs), "finite doubles only"
+    return F.expr(
+        "array(" + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in vs) + ")"
+    )
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -76,9 +94,12 @@ def hyperplane_expr(j: int, d: int) -> float:
     return ((j * 8191 + d * 524287) % HYPERPLANE_MOD) / HYPERPLANE_MOD - 0.5
 
 
-def lsh_buckets(emb: DataFrame, dim: int, nbits: int = LSH_NBITS) -> DataFrame:
-    """Random-hyperplane LSH: bucket = Σ_j (dot(e, h_j) > 0) << j.
-    Pure map over the table — the partitioning key for bucketed ANN."""
+@lru_cache(maxsize=None)
+def _lsh_bucket_col(dim: int, nbits: int) -> Column:
+    """lsh_buckets' bucket expression over col('embedding'), memoized per
+    (dim, nbits) — the hyperplanes are deterministic functions of (j, d),
+    so the Column tree is a data-free code artifact; building it costs
+    ~0.4 s of py4j round trips per call (see dedup._shingle_text_col)."""
     e = F.col("embedding")
 
     # closure keeps each HOF lambda at arity 1/2 — a default arg would make
@@ -103,7 +124,13 @@ def lsh_buckets(emb: DataFrame, dim: int, nbits: int = LSH_NBITS) -> DataFrame:
         bucket = bucket + F.when(
             dot_plane(j) > 0, F.lit(1 << j).cast("long")
         ).otherwise(F.lit(0).cast("long"))
-    return emb.select("vec_id", bucket.alias("bucket"))
+    return bucket
+
+
+def lsh_buckets(emb: DataFrame, dim: int, nbits: int = LSH_NBITS) -> DataFrame:
+    """Random-hyperplane LSH: bucket = Σ_j (dot(e, h_j) > 0) << j.
+    Pure map over the table — the partitioning key for bucketed ANN."""
+    return emb.select("vec_id", _lsh_bucket_col(dim, nbits).alias("bucket"))
 
 
 def capped_buckets(
@@ -530,7 +557,7 @@ def _sub_sq_l2(vec: Column, start: int, centroid: list[float]) -> Column:
     — identical to the DuckDB list_reduce twin, so distances stay
     bit-identical across engines."""
     sl = F.slice(vec, start + 1, len(centroid))
-    lit = F.array(*[F.lit(float(c)) for c in centroid])
+    lit = _lit_double_array(centroid)
     diffs = F.zip_with(sl, lit, lambda a, b: (a - b) * (a - b))
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
@@ -622,7 +649,7 @@ def pq_adc_topk(
         ]
         dist = F.lit(0.0)
         for s in range(m):
-            lut_arr = F.array(*[F.lit(d).cast("double") for d in lut[s]])
+            lut_arr = _lit_double_array(lut[s])
             dist = dist + F.element_at(lut_arr, F.col("codes").getItem(s) + 1)
         per_query.append(
             F.struct(F.lit(qid).alias("q_id"), dist.alias("dist"))
@@ -718,10 +745,7 @@ def ivfpq_topk(
     # cell -> centroid literal, selected by the cell's position in
     # cell_order (array-of-arrays literal + a tiny positional CASE)
     cent_arrays = F.array(
-        *[
-            F.array(*[F.lit(x) for x in cents[c]])
-            for c in cell_order
-        ]
+        *[_lit_double_array(cents[c]) for c in cell_order]
     )
     pos = F.lit(None).cast("int")
     for i, c in enumerate(reversed(cell_order)):
@@ -786,7 +810,7 @@ def ivfpq_topk(
             ]
             d = F.lit(0.0)
             for s in range(m):
-                arr = F.array(*[F.lit(x).cast("double") for x in lut[s]])
+                arr = _lit_double_array(lut[s])
                 d = d + F.element_at(arr, F.col("codes").getItem(s) + 1)
             dist = F.when(F.col("cell") == cell, d).otherwise(dist)
         per_query.append(F.struct(F.lit(qid).alias("q_id"), dist.alias("dist")))
