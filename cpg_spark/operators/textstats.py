@@ -14,6 +14,8 @@ FQN regex) and StatisticsCollectionPass counts (StatisticsCollectionPass
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -461,8 +463,41 @@ def _repetition_scored(docs: DataFrame) -> DataFrame:
     """gopher_repetition's engine; keeps the token array column __t so
     massivetext_gates can add its word-shape stats in the same
     zero-shuffle projection chain instead of a second scan + join."""
-    from ..functions.hashing import char_poly_hash_col
+    prep, chain, fracs = _battery_cols()
+    prepared = docs.select("doc_id", *prep)
+    for name, c in chain:
+        prepared = prepared.withColumn(name, c)
+    # fracs land in their own projection; the gate references them by
+    # NAME so no gram fold is ever evaluated twice (CollapseProject
+    # declines to inline multiply-referenced non-cheap aliases)
+    scored = prepared.select(
+        "doc_id",
+        "__t",
+        *[c.alias(name) for name, c in fracs],
+    )
+    gate = (
+        (F.col("dup_line_frac") <= GOPHER_DUP_LINE_FRAC_MAX)
+        & (F.col("dup_line_char_frac") <= GOPHER_DUP_LINE_CHAR_MAX)
+        & (F.col("dup_para_frac") <= GOPHER_DUP_PARA_FRAC_MAX)
+        & (F.col("dup_para_char_frac") <= GOPHER_DUP_PARA_CHAR_MAX)
+    )
+    for n, thr in sorted(GOPHER_TOP_NGRAM_MAX.items()):
+        gate = gate & (F.col(f"top_{n}gram_frac") <= thr)
+    for n, thr in sorted(GOPHER_DUP_NGRAM_MAX.items()):
+        gate = gate & (F.col(f"dup_{n}gram_char_frac") <= thr)
+    return scored.withColumn(
+        "repetition_pass", F.coalesce(gate, F.lit(False))
+    )
 
+
+@lru_cache(maxsize=None)
+def _battery_cols() -> tuple:
+    """Every Column of the repetition battery — the prepared-projection
+    columns, the (name, Column) withColumn chain, and the (name, Column)
+    fraction list — built ONCE per process: the trees are parameter-free
+    and data-free (fixed column-name references only), and building them
+    costs ~0.35 s of py4j/SQL-parse driver time per call (the r7
+    construction-overhead finding, OPTIMIZATION_r07.md)."""
     M, P = GRAM_FP_MULT, GRAM_FP_P
 
     def _gram_cov(n: int, top: bool) -> Column:
@@ -559,50 +594,53 @@ def _repetition_scored(docs: DataFrame) -> DataFrame:
         )
 
     toks = doc_tokens(F.col("text"))
-    prepared = (
-        docs.select(
-            "doc_id",
-            toks.alias("__t"),
-            F.filter(
-                F.split(F.col("text"), r"\n"), lambda u: u != ""
-            ).alias("__lnu"),
-            F.filter(
-                F.split(F.col("text"), r"\n{2,}"), lambda u: u != ""
-            ).alias("__pau"),
-        )
-        .withColumn("__th", F.transform("__t", char_poly_hash_col))
-        .withColumn("__lens", F.transform("__t", F.length))
-        .withColumn(
+    prep = (
+        toks.alias("__t"),
+        F.filter(
+            F.split(F.col("text"), r"\n"), lambda u: u != ""
+        ).alias("__lnu"),
+        F.filter(
+            F.split(F.col("text"), r"\n{2,}"), lambda u: u != ""
+        ).alias("__pau"),
+    )
+    chain = [
+        ("__th", F.transform("__t", char_poly_hash_col)),
+        ("__lens", F.transform("__t", F.length)),
+        (
             "__chars",
             F.aggregate(
                 "__lens", F.lit(0).cast("long"), lambda a, x: a + x
             ),
-        )
-        .withColumn("__ln", F.expr(_dup_units("__lnu")))
-        .withColumn("__pa", F.expr(_dup_units("__pau")))
-    )
+        ),
+        ("__ln", F.expr(_dup_units("__lnu"))),
+        ("__pa", F.expr(_dup_units("__pau"))),
+    ]
     # chained gram-fingerprint families: fp_n[i] = (fp_{n-1}[i]*M +
     # th[i+n-1]) mod P — exactly the left fold over th[i..i+n-1]
     # (th < P, fp*M < 2^62; each layer is one multiply-add per position)
     all_ns = sorted(GOPHER_TOP_NGRAM_MAX) + sorted(GOPHER_DUP_NGRAM_MAX)
-    prepared = prepared.withColumn(
-        "__fp2",
-        F.expr(
-            f"IF(size(__th) >= 2, transform(sequence(1, size(__th) - 1), "
-            f"i -> (element_at(__th, i) * {M} + element_at(__th, i + 1)) % {P}), "
-            "CAST(array() AS array<bigint>))"
-        ),
-    )
-    for n in range(3, max(all_ns) + 1):
-        prepared = prepared.withColumn(
-            f"__fp{n}",
+    chain.append(
+        (
+            "__fp2",
             F.expr(
-                f"IF(size(__th) >= {n}, "
-                f"transform(sequence(1, size(__th) - {n - 1}), "
-                f"i -> (element_at(__fp{n - 1}, i) * {M} "
-                f"+ element_at(__th, i + {n - 1})) % {P}), "
+                f"IF(size(__th) >= 2, transform(sequence(1, size(__th) - 1), "
+                f"i -> (element_at(__th, i) * {M} + element_at(__th, i + 1)) % {P}), "
                 "CAST(array() AS array<bigint>))"
             ),
+        )
+    )
+    for n in range(3, max(all_ns) + 1):
+        chain.append(
+            (
+                f"__fp{n}",
+                F.expr(
+                    f"IF(size(__th) >= {n}, "
+                    f"transform(sequence(1, size(__th) - {n - 1}), "
+                    f"i -> (element_at(__fp{n - 1}, i) * {M} "
+                    f"+ element_at(__th, i + {n - 1})) % {P}), "
+                    "CAST(array() AS array<bigint>))"
+                ),
+            )
         )
 
     has = F.size("__t") > 0
@@ -631,27 +669,7 @@ def _repetition_scored(docs: DataFrame) -> DataFrame:
             for n in sorted(GOPHER_DUP_NGRAM_MAX)
         },
     }
-    # fracs land in their own projection; the gate references them by
-    # NAME so no gram fold is ever evaluated twice (CollapseProject
-    # declines to inline multiply-referenced non-cheap aliases)
-    scored = prepared.select(
-        "doc_id",
-        "__t",
-        *[expr.alias(name) for name, expr in fracs.items()],
-    )
-    gate = (
-        (F.col("dup_line_frac") <= GOPHER_DUP_LINE_FRAC_MAX)
-        & (F.col("dup_line_char_frac") <= GOPHER_DUP_LINE_CHAR_MAX)
-        & (F.col("dup_para_frac") <= GOPHER_DUP_PARA_FRAC_MAX)
-        & (F.col("dup_para_char_frac") <= GOPHER_DUP_PARA_CHAR_MAX)
-    )
-    for n, thr in sorted(GOPHER_TOP_NGRAM_MAX.items()):
-        gate = gate & (F.col(f"top_{n}gram_frac") <= thr)
-    for n, thr in sorted(GOPHER_DUP_NGRAM_MAX.items()):
-        gate = gate & (F.col(f"dup_{n}gram_char_frac") <= thr)
-    return scored.withColumn(
-        "repetition_pass", F.coalesce(gate, F.lit(False))
-    )
+    return (prep, tuple(chain), tuple(fracs.items()))
 
 
 def massivetext_gates(docs: DataFrame) -> DataFrame:

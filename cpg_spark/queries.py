@@ -55,6 +55,23 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# same contract for the constant fixture frames (DFA transition tables,
+# probe lists, the entity alias dictionary): createDataFrame of a
+# hard-coded literal list costs ~0.15-0.25 s of driver time per call;
+# the rows are compile-time constants, so one local-relation plan per
+# session is the same frame every time.
+_CONST_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def _const_df(spark: SparkSession, key: str, rows, schema: str) -> DataFrame:
+    hit = _CONST_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = spark.createDataFrame(rows, schema)
+    _CONST_CACHE[key] = (spark, df)
+    return df
+
+
 def t_par(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan + round-robin repartition for queries whose first stage is a
     compute-heavy map (shingle/tokenize/hyperplane kernels). The testdata
@@ -892,8 +909,9 @@ def q_events_order_dfa(spark, sf_dir):
         + [("S1", "p", "S2")]
         + [("S2", a, "S2") for a in "cevsp"]
     )
-    dfa = spark.createDataFrame(
-        rows, "src_state string, symbol string, dst_state string"
+    dfa = _const_df(
+        spark, "purchase_dfa", rows,
+        "src_state string, symbol string, dst_state string",
     )
     return dfa_evaluate(
         ev,
@@ -1275,7 +1293,9 @@ def q_eog_dfa_branched(spark, sf_dir):
     ).select(
         "doc_id", F.col("e.src").alias("src"), F.col("e.dst").alias("dst")
     )
-    transitions = spark.createDataFrame(
+    transitions = _const_df(
+        spark,
+        "parity_dfa",
         [
             ("S0", "e", "S0"),
             ("S1", "e", "S1"),
@@ -1371,7 +1391,10 @@ WHERE o.src IS NULL
 
 def _doc_entity_dict(spark: SparkSession) -> DataFrame:
     rows = [(w, typ, f"e:{w}") for w, typ in DOC_ENTITIES.items()]
-    return spark.createDataFrame(rows, "alias string, entity_type string, entity_id string")
+    return _const_df(
+        spark, "doc_entity_dict", rows,
+        "alias string, entity_type string, entity_id string",
+    )
 
 
 def q_kg_doc_mentions(spark, sf_dir):
@@ -1630,7 +1653,7 @@ def q_link_scope_chain(spark, sf_dir):
         .union(cust.filter(m == 0).select(k, F.lit("y")))
         .union(cust.filter(m == 2).select(k, F.lit("x")))
     )
-    names = spark.createDataFrame([("x",), ("y",), ("z",)], "name string")
+    names = _const_df(spark, "xyz_names", [("x",), ("y",), ("z",)], "name string")
     refs = (
         cust.filter(m == 2)
         .select(k.alias("scope_id"))
@@ -1696,7 +1719,7 @@ def q_link_scope_inferred(spark, sf_dir):
         .union(cust.filter(m == 0).select(k, F.lit("y")))
         .union(cust.filter(m == 2).select(k, F.lit("x")))
     )
-    names = spark.createDataFrame([("x",), ("y",), ("z",)], "name string")
+    names = _const_df(spark, "xyz_names", [("x",), ("y",), ("z",)], "name string")
     refs = (
         cust.filter(m == 2)
         .select(k.alias("scope_id"))
@@ -1878,7 +1901,9 @@ def q_sa_grammar_accept(spark, sf_dir):
         ).alias("p"),
     ).select("hotspot_id", "p.*")
     pats = stringapprox.grammar_patterns(prods)
-    probes = spark.createDataFrame([(p,) for p in _GRAMMAR_PROBES], "probe string")
+    probes = _const_df(
+        spark, "grammar_probes", [(p,) for p in _GRAMMAR_PROBES], "probe string"
+    )
     return pats.crossJoin(F.broadcast(probes)).select(
         "hotspot_id",
         "probe",
@@ -2386,7 +2411,9 @@ def q_sa_dfg_grammar(spark, sf_dir):
     hotspots = nation.select(hid.alias("hotspot_id"), (base + 3).alias("node_id"))
     prods = stringapprox.productions_from_dfg(nodes, edges, hotspots)
     pats = stringapprox.grammar_patterns(prods)
-    probes = spark.createDataFrame([(p,) for p in _DFG_PROBES], "probe string")
+    probes = _const_df(
+        spark, "dfg_probes", [(p,) for p in _DFG_PROBES], "probe string"
+    )
     return pats.crossJoin(F.broadcast(probes)).select(
         "hotspot_id",
         "probe",
@@ -2451,7 +2478,9 @@ def q_sa_ops_grammar(spark, sf_dir):
     hotspots = nation.select(hid.alias("hotspot_id"), (base + 6).alias("node_id"))
     prods = stringapprox.productions_from_dfg(nodes, edges, hotspots)
     pats = stringapprox.grammar_patterns(prods)
-    probes = spark.createDataFrame([(p,) for p in _OPS_PROBES], "probe string")
+    probes = _const_df(
+        spark, "ops_probes", [(p,) for p in _OPS_PROBES], "probe string"
+    )
     return pats.crossJoin(F.broadcast(probes)).select(
         "hotspot_id",
         "probe",
@@ -2509,7 +2538,9 @@ def q_sa_charset_cycle(spark, sf_dir):
         ).alias("p"),
     ).select("hotspot_id", "p.*")
     pats = stringapprox.grammar_patterns(prods)
-    probes = spark.createDataFrame([(p,) for p in _CSET_PROBES], "probe string")
+    probes = _const_df(
+        spark, "cset_probes", [(p,) for p in _CSET_PROBES], "probe string"
+    )
     return pats.crossJoin(F.broadcast(probes)).select(
         "hotspot_id",
         "charset_regex",

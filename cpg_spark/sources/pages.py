@@ -49,7 +49,9 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents parquet. html is built with the synth template entirely in
     Column expressions (escape & < >, sentence-break markup) so the
     extract stage exercises real stripping work at benchmark scale."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..queries import t  # lazy: avoids the queries->sources cycle
+
+    docs = t(spark, sf_dir, "documents")  # per-session scan-plan cache
     esc = F.col("text")
     esc = F.replace(esc, F.lit("&"), F.lit("&amp;"))
     esc = F.replace(esc, F.lit("<"), F.lit("&lt;"))
